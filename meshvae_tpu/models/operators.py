@@ -1,0 +1,59 @@
+"""Bundle of static per-level graph operands consumed by the models.
+
+Bridges the host-side MeshHierarchy to the device compute path (the role of
+the reference's model factory sparse-tensor conversion,
+/root/reference/model.py:24-46), as a single pytree that can be passed
+through jit / donated / sharded.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.hierarchy import MeshHierarchy
+from ..ops.graph import (
+    GraphOperator,
+    PoolOperator,
+    cheb_operator,
+    embed_operator,
+    pool_operator,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ModelOperators:
+    lap: tuple[GraphOperator, ...]     # L+1 per-level Chebyshev operators
+    down: tuple[PoolOperator, ...]     # L downsampling selections
+    up: tuple[PoolOperator, ...]       # L barycentric upsamplers
+    lap_final: GraphOperator           # operator fed to the last decoder conv
+    num_nodes: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+
+def build_operators(
+    hier: MeshHierarchy,
+    dtype=jnp.float32,
+    final_conv_adjacency: str = "reference_quirk",
+) -> ModelOperators:
+    """final_conv_adjacency:
+    - "reference_quirk": last decoder conv sees the coarsest level's operator
+       embedded at full resolution (parity with
+       /root/reference/models/cheb_VAE.py:288);
+    - "finest": last decoder conv sees the true full-resolution operator (the
+       presumably-intended behavior, available as a config switch).
+    """
+    lap = tuple(cheb_operator(a, dtype=dtype) for a in hier.adjacency)
+    down = tuple(pool_operator(d, dtype=dtype) for d in hier.downsample)
+    up = tuple(pool_operator(u, dtype=dtype) for u in hier.upsample)
+    if final_conv_adjacency == "reference_quirk":
+        lap_final = embed_operator(hier.adjacency[-1], hier.levels[0], dtype=dtype)
+    elif final_conv_adjacency == "finest":
+        lap_final = lap[0]
+    else:
+        raise ValueError(f"unknown final_conv_adjacency: {final_conv_adjacency}")
+    return ModelOperators(
+        lap=lap, down=down, up=up, lap_final=lap_final,
+        num_nodes=tuple(hier.levels),
+    )

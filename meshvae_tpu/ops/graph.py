@@ -1,0 +1,148 @@
+"""Static graph operands for the TPU compute path.
+
+The graph topology is fixed at trace time, so instead of runtime scatter
+message-passing (the reference's torch-scatter inner loop,
+/root/reference/nn/conv.py:346-364) we precompute, on host, every operand the
+device kernels need:
+
+  * the scaled-Laplacian operator L_hat = -D^{-1/2} A D^{-1/2} (exactly the
+    reference's `ChebConv_batch.norm` weights: symmetric-normalized negated
+    adjacency, self-loops removed — /root/reference/nn/conv.py:541-555) in
+    two layouts: dense [N, N] for MXU matmuls, and padded neighbor-list (ELL)
+    for gather-based SpMM / Pallas kernels;
+  * pool/unpool sampling matrices as gather indices + weights (rows of D are
+    one-hot selections, rows of U have <= 3 barycentric entries).
+
+Everything is a pytree of jnp arrays: safe to close over or pass through jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+
+def normalized_neg_adjacency(adjacency: sp.spmatrix) -> sp.csr_matrix:
+    """-D^{-1/2} A D^{-1/2} with unit edge weights and self-loops removed.
+
+    Degree counts edges (ones), matching the reference's norm() which ignores
+    the adjacency's stored values (/root/reference/nn/conv.py:544-555).
+    """
+    coo = sp.coo_matrix(adjacency)
+    mask = coo.row != coo.col
+    row, col = coo.row[mask], coo.col[mask]
+    n = adjacency.shape[0]
+    ones = np.ones(row.shape[0], dtype=np.float64)
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, row, ones)
+    with np.errstate(divide="ignore"):
+        dis = np.power(deg, -0.5)
+    dis[~np.isfinite(dis)] = 0.0
+    vals = -dis[row] * dis[col]
+    out = sp.csr_matrix((vals, (row, col)), shape=(n, n))
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphOperator:
+    """The Chebyshev propagation operator at one hierarchy level."""
+
+    dense: jnp.ndarray       # [N, N] float32 dense L_hat
+    ell_idx: jnp.ndarray     # [N, max_deg] int32 neighbor ids (self-padded)
+    ell_w: jnp.ndarray       # [N, max_deg] float32 weights (0 on padding)
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def max_degree(self) -> int:
+        return self.ell_idx.shape[1]
+
+
+def _to_ell(mat: sp.csr_matrix, pad_self: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """CSR -> padded neighbor-list (ELL). Padding entries carry weight 0 and a
+    safe in-bounds index (the row id for square operators, 0 otherwise)."""
+    n, n_cols = mat.shape
+    mat = mat.tocsr()
+    counts = np.diff(mat.indptr)
+    max_deg = max(int(counts.max()) if n else 0, 1)
+    idx = np.zeros((n, max_deg), dtype=np.int32)
+    w = np.zeros((n, max_deg), dtype=np.float32)
+    for i in range(n):
+        lo, hi = mat.indptr[i], mat.indptr[i + 1]
+        k = hi - lo
+        idx[i, :k] = mat.indices[lo:hi]
+        w[i, :k] = mat.data[lo:hi]
+        if pad_self and i < n_cols:
+            idx[i, k:] = i
+    return idx, w
+
+
+def cheb_operator(adjacency: sp.spmatrix, dtype=jnp.float32) -> GraphOperator:
+    lap = normalized_neg_adjacency(adjacency)
+    idx, w = _to_ell(lap)
+    return GraphOperator(
+        dense=jnp.asarray(lap.toarray(), dtype=dtype),
+        ell_idx=jnp.asarray(idx),
+        ell_w=jnp.asarray(w, dtype=dtype),
+        n=lap.shape[0],
+    )
+
+
+def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32) -> GraphOperator:
+    """Embed a coarse-level operator into the top-left corner of an [n_full,
+    n_full] operator.
+
+    Reproduces the reference's final-decoder-conv quirk: the last ChebConv is
+    fed the *coarsest* level's adjacency while operating on full-resolution
+    features (/root/reference/models/cheb_VAE.py:288) — only vertex ids below
+    the coarse vertex count receive neighbor terms; all others see the
+    identity (W0) path only.
+    """
+    lap = normalized_neg_adjacency(op_coarse).tocoo()
+    full = sp.csr_matrix(
+        (lap.data, (lap.row, lap.col)), shape=(n_full, n_full)
+    )
+    idx, w = _to_ell(full)
+    return GraphOperator(
+        dense=jnp.asarray(full.toarray(), dtype=dtype),
+        ell_idx=jnp.asarray(idx),
+        ell_w=jnp.asarray(w, dtype=dtype),
+        n=n_full,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoolOperator:
+    """A precomputed sampling matrix P applied as out = P @ x per batch item.
+
+    Stored as padded per-row gathers: out[m] = sum_k w[m, k] * x[idx[m, k]].
+    For downsampling matrices rows are one-hot (pure gather); for barycentric
+    upsampling rows have <= 3 entries.
+    """
+
+    idx: jnp.ndarray     # [M, R] int32
+    w: jnp.ndarray       # [M, R] float32
+    dense: jnp.ndarray   # [M, N] float32 (reference path / tests)
+    n_in: int = dataclasses.field(metadata=dict(static=True))
+    n_out: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def is_selection(self) -> bool:
+        return self.idx.shape[1] == 1
+
+
+def pool_operator(mat: sp.spmatrix, dtype=jnp.float32) -> PoolOperator:
+    csr = sp.csr_matrix(mat)
+    idx, w = _to_ell(csr, pad_self=False)
+    return PoolOperator(
+        idx=jnp.asarray(idx),
+        w=jnp.asarray(w, dtype=dtype),
+        dense=jnp.asarray(csr.toarray(), dtype=dtype),
+        n_in=csr.shape[1],
+        n_out=csr.shape[0],
+    )

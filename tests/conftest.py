@@ -1,0 +1,46 @@
+"""Test harness: force an 8-virtual-device CPU platform so multi-chip
+sharding paths compile and execute in CI without TPUs (SURVEY.md §4d)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from meshvae_tpu.mesh.io import TriMesh
+
+
+def make_grid_mesh(n: int = 8, jitter: float = 0.0, seed: int = 0) -> TriMesh:
+    """Triangulated n x n planar grid (with optional z jitter) — a cheap,
+    deterministic stand-in for the hip-bone template in unit tests."""
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64))
+    z = jitter * rng.standard_normal((n, n)) if jitter else np.zeros((n, n))
+    v = np.stack([xs.ravel(), ys.ravel(), z.ravel()], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            b = a + 1
+            c = a + n
+            d = c + 1
+            faces.append((a, b, c))
+            faces.append((b, d, c))
+    return TriMesh(v, np.array(faces, dtype=np.int64))
+
+
+@pytest.fixture
+def grid_mesh():
+    return make_grid_mesh(8, jitter=0.05)
+
+
+@pytest.fixture(scope="session")
+def template_mesh():
+    from meshvae_tpu.mesh.io import load_obj
+    return load_obj("/root/reference/template/template5k.obj")

@@ -1,0 +1,154 @@
+"""Golden numerical tests for the graph ops: Laplacian normalization,
+Chebyshev recurrence, pool/unpool — verified against independent numpy
+closed forms on hand-checkable graphs, and cross-path (dense vs ell)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from meshvae_tpu.mesh.connectivity import vertex_adjacency
+from meshvae_tpu.ops.cheb import cheb_conv, propagate_dense, propagate_ell
+from meshvae_tpu.ops.graph import (
+    cheb_operator, embed_operator, normalized_neg_adjacency, pool_operator,
+)
+from meshvae_tpu.ops.pool import pool_apply
+
+
+def numpy_cheb(x, lap, weight, bias=None):
+    """Independent numpy reference of the K-term Chebyshev recurrence."""
+    k = weight.shape[0]
+    tx0 = x
+    out = tx0 @ weight[0]
+    if k > 1:
+        tx1 = np.einsum("nm,bmf->bnf", lap, x)
+        out = out + tx1 @ weight[1]
+    for i in range(2, k):
+        tx2 = 2 * np.einsum("nm,bmf->bnf", lap, tx1) - tx0
+        out = out + tx2 @ weight[i]
+        tx0, tx1 = tx1, tx2
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class TestLaplacian:
+    def test_triangle_graph(self):
+        # 3-cycle: every vertex degree 2 -> weights -1/2 on each edge
+        adj = vertex_adjacency(3, np.array([[0, 1, 2]]))
+        lap = normalized_neg_adjacency(adj).toarray()
+        expected = np.full((3, 3), -0.5)
+        np.fill_diagonal(expected, 0.0)
+        np.testing.assert_allclose(lap, expected, atol=1e-12)
+
+    def test_path_graph(self):
+        # path 0-1-2: deg = (1, 2, 1)
+        adj = sp.csr_matrix(np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], dtype=float))
+        lap = normalized_neg_adjacency(adj).toarray()
+        v = -1.0 / np.sqrt(2.0)
+        expected = np.array([[0, v, 0], [v, 0, v], [0, v, 0]])
+        np.testing.assert_allclose(lap, expected, atol=1e-12)
+
+    def test_ignores_stored_values_and_self_loops(self):
+        # weights 7 on edges and a self-loop must not change the operator
+        adj = sp.csr_matrix(np.array([[3.0, 7.0], [7.0, 0.0]]))
+        lap = normalized_neg_adjacency(adj).toarray()
+        np.testing.assert_allclose(lap, [[0, -1], [-1, 0]], atol=1e-12)
+
+    def test_spectrum_in_unit_disc(self, grid_mesh):
+        # -D^{-1/2} A D^{-1/2} has eigenvalues in [-1, 1]
+        adj = vertex_adjacency(grid_mesh.num_vertices, grid_mesh.f)
+        lap = normalized_neg_adjacency(adj).toarray()
+        eig = np.linalg.eigvalsh(lap)
+        assert eig.min() >= -1.0 - 1e-9 and eig.max() <= 1.0 + 1e-9
+
+
+class TestChebConv:
+    @pytest.fixture
+    def setup(self, grid_mesh):
+        rng = np.random.default_rng(0)
+        adj = vertex_adjacency(grid_mesh.num_vertices, grid_mesh.f)
+        op = cheb_operator(adj)
+        x = rng.standard_normal((2, grid_mesh.num_vertices, 3)).astype(np.float32)
+        weight = (0.1 * rng.standard_normal((6, 3, 8))).astype(np.float32)
+        bias = (0.1 * rng.standard_normal(8)).astype(np.float32)
+        return op, x, weight, bias, adj
+
+    def test_matches_numpy_reference(self, setup):
+        op, x, weight, bias, adj = setup
+        lap = normalized_neg_adjacency(adj).toarray().astype(np.float32)
+        expected = numpy_cheb(x, lap, weight, bias)
+        got = cheb_conv(jnp.asarray(x), op, jnp.asarray(weight), jnp.asarray(bias),
+                        method="dense", precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=2e-5)
+
+    def test_dense_vs_ell(self, setup):
+        op, x, weight, bias, _ = setup
+        dense = cheb_conv(jnp.asarray(x), op, jnp.asarray(weight),
+                          jnp.asarray(bias), method="dense",
+                          precision=jax.lax.Precision.HIGHEST)
+        ell = cheb_conv(jnp.asarray(x), op, jnp.asarray(weight),
+                        jnp.asarray(bias), method="ell")
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(ell),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_propagate_paths_agree(self, setup):
+        op, x, _, _, _ = setup
+        d = propagate_dense(op, jnp.asarray(x), precision=jax.lax.Precision.HIGHEST)
+        e = propagate_ell(op, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(e), rtol=2e-5, atol=2e-5)
+
+    def test_k1_is_pure_linear(self, setup):
+        op, x, weight, _, _ = setup
+        got = cheb_conv(jnp.asarray(x), op, jnp.asarray(weight[:1]), None)
+        np.testing.assert_allclose(np.asarray(got), x @ weight[0], rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_embedded_quirk_operator(self, grid_mesh):
+        # coarse operator embedded at full res: rows >= n_coarse get no
+        # neighbor terms (identity path only)
+        rng = np.random.default_rng(1)
+        coarse_adj = vertex_adjacency(3, np.array([[0, 1, 2]]))
+        n_full = 10
+        op = embed_operator(coarse_adj, n_full)
+        x = rng.standard_normal((1, n_full, 2)).astype(np.float32)
+        weight = rng.standard_normal((2, 2, 2)).astype(np.float32)
+        got = np.asarray(cheb_conv(jnp.asarray(x), op, jnp.asarray(weight), None,
+                                   precision=jax.lax.Precision.HIGHEST))
+        # rows 3.. see only x @ W0
+        np.testing.assert_allclose(got[0, 3:], x[0, 3:] @ weight[0], rtol=1e-5,
+                                   atol=1e-5)
+        # rows 0..2 see the triangle-graph propagation too
+        lap_full = np.zeros((n_full, n_full), dtype=np.float32)
+        lap_full[:3, :3] = normalized_neg_adjacency(coarse_adj).toarray()
+        expected = numpy_cheb(x, lap_full, weight)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+class TestPool:
+    def test_selection_matrix(self):
+        # D: pick vertices 2 and 0
+        d = sp.csr_matrix((np.ones(2), ([0, 1], [2, 0])), shape=(2, 4))
+        pool = pool_operator(d)
+        assert pool.is_selection
+        x = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+        out = pool_apply(x, pool)
+        expected = np.asarray(x)[:, [2, 0], :]
+        np.testing.assert_array_equal(np.asarray(out), expected)
+
+    def test_barycentric_matrix_gather_vs_dense(self):
+        rng = np.random.default_rng(3)
+        rows = np.repeat(np.arange(5), 3)
+        cols = rng.integers(0, 4, size=15)
+        vals = rng.random(15)
+        u = sp.csr_matrix((vals, (rows, cols)), shape=(5, 4))
+        pool = pool_operator(u)
+        x = jnp.asarray(rng.standard_normal((2, 4, 6)).astype(np.float32))
+        got = pool_apply(x, pool, method="gather")
+        ref = pool_apply(x, pool, method="dense",
+                         precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                                   atol=2e-5)
+        expected = np.einsum("mn,bnf->bmf", u.toarray(), np.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=2e-5)
