@@ -35,8 +35,9 @@ def softclip(value, min_value: float):
 
 def fixed_log_sigma() -> float:
     """The reference trains with a *constant* observation log-sigma of
-    softclip(1.0, -6) ~= 1.00091 (/root/reference/models/cheb_VAE.py:328-329)."""
-    return float(softclip(1.0, -6.0))
+    softclip(1.0, -6) ~= 1.00091 (/root/reference/models/cheb_VAE.py:328-329).
+    Computed in pure python so it stays a compile-time constant under jit."""
+    return -6.0 + math.log1p(math.exp(1.0 - (-6.0)))
 
 
 def vae_loss(
@@ -47,8 +48,13 @@ def vae_loss(
     y: jnp.ndarray,          # [B, C] one-hot labels
     y_hat: jnp.ndarray,      # [B, C] softmax classifier output
     log_sigma: float | jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
 ):
     """Total objective: mean_B( KLD + sum_{N,3} NLL - 2 log q(y) ).
+
+    `mask` [B] (1.0 = real sample, 0.0 = batch padding) turns the batch mean
+    into a masked mean so statically-shaped padded batches reproduce the
+    reference's ragged-batch averages exactly.
 
     Returns (loss, aux) with aux = dict(kld [B], rec_loss [B], correct scalar).
     """
@@ -57,6 +63,13 @@ def vae_loss(
     kl = kld(mu, logvar)
     rec = gaussian_nll(recon, jnp.asarray(log_sigma, dtype=x.dtype), x).sum(-1).sum(-1)
     logqy = jnp.log(jnp.sum(y_hat * y, axis=-1))
-    loss = jnp.mean(kl + rec - 2.0 * logqy)
-    correct = jnp.sum(jnp.argmax(y_hat, axis=-1) == jnp.argmax(y, axis=-1))
+    per_sample = kl + rec - 2.0 * logqy
+    hits = (jnp.argmax(y_hat, axis=-1) == jnp.argmax(y, axis=-1))
+    if mask is None:
+        loss = jnp.mean(per_sample)
+        correct = jnp.sum(hits)
+    else:
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = jnp.sum(per_sample * mask) / denom
+        correct = jnp.sum(hits * mask)
     return loss, {"kld": kl, "rec_loss": rec, "correct": correct, "logqy": logqy}

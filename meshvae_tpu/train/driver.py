@@ -1,0 +1,204 @@
+"""K-fold training/testing driver — the body behind the `main.py` CLI.
+
+Orchestration parity with /root/reference/main.py:181-325: repeated
+stratified k-fold over the mesh listing, per-fold reset to a shared
+initial-weights snapshot, per-epoch train + validate with the step LR
+schedule, best-validation-loss checkpointing, history JSON, text log, and the
+test path with sex-change mesh dumps. Fold resets and data handling stay in
+Python; only the steps are jitted (one compilation for the whole run).
+"""
+from __future__ import annotations
+
+import copy
+import os
+import time
+
+import numpy as np
+from sklearn.model_selection import RepeatedStratifiedKFold, train_test_split
+
+import jax
+import jax.numpy as jnp
+
+from ..config import read_config
+from ..data.dataset import BatchIterator, MeshDataset, list_meshes
+from ..mesh.hierarchy import load_or_build_hierarchy
+from ..mesh.io import load_obj, save_obj
+from ..models.operators import build_operators
+from ..models.vae import MeshVAE, VAEConfig
+from ..parallel.sharding import make_device_mesh
+from .checkpoint import (checkpoint_path, load_checkpoint, load_params,
+                         save_checkpoint, save_params)
+from .loop import Trainer, lr_for_epoch, set_learning_rate
+from .metrics import (RunLog, epoch_line, history_record, maybe_profile,
+                      write_history)
+
+
+def build_model_and_ops(config: dict, dtype=jnp.float32):
+    """Template -> hierarchy -> static operators -> model (the role of the
+    reference's get_model factory, /root/reference/model.py:35-118)."""
+    template = load_obj(config["template"])
+    cache_dir = config.get("hierarchy_cache_dir") or None
+    hier = load_or_build_hierarchy(template, config["downsampling_factors"],
+                                   cache_dir=cache_dir)
+    ops = build_operators(
+        hier, dtype=dtype,
+        final_conv_adjacency=config.get("final_conv_adjacency",
+                                        "reference_quirk"),
+    )
+    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1],
+                                num_features=template.v.shape[1])
+    model = MeshVAE(cfg)
+    return model, ops, hier, template
+
+
+def make_trainer(config: dict, model, ops) -> Trainer:
+    dp = int(config.get("data_parallel", 1))
+    mesh = make_device_mesh(dp=dp) if dp > 1 else None
+    return Trainer(model, ops, config, mesh=mesh)
+
+
+def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
+    checkpoint_dir = config["checkpoint_dir"]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    seed = int(config["random_seeds"])
+    n_splits = int(config["folds"])
+    test_size = float(config["test_size"])
+    batch_size = int(config["batch_size"])
+    total_epochs = int(config["epoch"])
+    base_lr = float(config["learning_rate"])
+
+    model, ops, hier, template = build_model_and_ops(config)
+    trainer = make_trainer(config, model, ops)
+    faces = np.asarray(template.f)
+
+    log = RunLog(config["log_file"])
+    log.print("model type:", config["type"])
+    log.print("optimizer type", config["optimizer"])
+    log.print("learning rate:", base_lr)
+
+    init_params = trainer.init_params(jax.random.key(seed))
+    init_path = os.path.join(checkpoint_dir, "initial_weight.msgpack")
+    save_params(init_path, init_params)
+
+    dataset_index, labels = list_meshes(config)
+    if not dataset_index:
+        raise RuntimeError(f"no meshes found under {config['root_dir']}")
+
+    skf = RepeatedStratifiedKFold(n_splits=n_splits, n_repeats=1,
+                                  random_state=seed)
+    y_dummy = np.ones(len(dataset_index))
+
+    results = []
+    n = 0
+    for train_index, test_index in skf.split(dataset_index, y_dummy):
+        train_names, valid_names = train_test_split(
+            np.array(dataset_index)[train_index], test_size=test_size,
+            random_state=seed)
+        n += 1
+        params = load_params(init_path, copy.deepcopy(init_params))
+        opt_state = trainer.init_opt_state(params)
+        history = []
+
+        if do_train:
+            train_ds = MeshDataset(list(train_names), config, labels,
+                                   template=np.asarray(template.v),
+                                   dtype="train")
+            valid_ds = MeshDataset(list(valid_names), config, labels,
+                                   template=np.asarray(template.v),
+                                   dtype="test")
+            train_loader = BatchIterator(train_ds, batch_size, shuffle=True,
+                                         seed=seed + n)
+            valid_loader = BatchIterator(valid_ds, batch_size, shuffle=False)
+            mean, std = train_ds.mean, train_ds.std
+            best_loss = float("inf")
+            epoch_rng = jax.random.key(seed * 1000 + n)
+
+            for epoch in range(1, total_epochs + 1):
+                begin = time.time()
+                lr = lr_for_epoch(epoch, base_lr, config["learning_rates"],
+                                  config["learning_rates_epochs"])
+                opt_state = set_learning_rate(opt_state, lr)
+
+                with maybe_profile(config.get("profile_dir"), epoch):
+                    params, opt_state, train_avg = trainer.train_epoch(
+                        params, opt_state, train_loader,
+                        jax.random.fold_in(epoch_rng, epoch), mean, std)
+                valid_avg, errors = trainer.evaluate(params, valid_loader,
+                                                     mean, std)
+                mean_val_error = float(errors.mean()) if errors.size else 0.0
+                duration = time.time() - begin
+
+                if valid_avg["loss"] <= best_loss:
+                    save_checkpoint(checkpoint_path(checkpoint_dir, n), params,
+                                    opt_state, n, train_avg["loss"],
+                                    valid_avg["loss"])
+                    best_loss = valid_avg["loss"]
+
+                history.append(history_record(epoch, begin, duration,
+                                              train_avg, valid_avg,
+                                              mean_val_error))
+                if epoch % 10 == 0:
+                    log.print(epoch_line(epoch, train_avg, valid_avg,
+                                         mean_val_error))
+
+            write_history(checkpoint_dir, n, history)
+
+        if do_test:
+            test_ds = MeshDataset(
+                list(np.array(dataset_index)[test_index]), config, labels,
+                template=np.asarray(template.v), dtype="test")
+            test_loader = BatchIterator(test_ds, batch_size, shuffle=False)
+            norm = np.load(os.path.join(checkpoint_dir, "norm.npz"),
+                           allow_pickle=True)
+            mean, std = (norm["mean"].astype(np.float32),
+                         norm["std"].astype(np.float32))
+
+            ckpt = load_checkpoint(checkpoint_path(checkpoint_dir, n),
+                                   copy.deepcopy(init_params),
+                                   trainer.init_opt_state(init_params))
+            params = ckpt["params"]
+
+            test_avg, errors, meshes = trainer.evaluate(
+                params, test_loader, mean, std, collect_meshes=True)
+
+            if vis:
+                _save_sex_change_meshes(checkpoint_dir, n, test_ds, meshes,
+                                        faces)
+
+            log.print(
+                "round {} test loss {},  mean error: {}, train sigma {}, "
+                "classification acc {}, sex change rate {}".format(
+                    n, test_avg["loss"], float(errors.mean()),
+                    float(errors.std()), test_avg["accuracy"],
+                    test_avg["sex_change_success_rate"]))
+            results.append({"fold": n, **{k: float(v) for k, v in
+                                          test_avg.items()},
+                            "mean_error": float(errors.mean())})
+
+    log.close()
+    return results
+
+
+def _save_sex_change_meshes(checkpoint_dir: str, fold: int,
+                            dataset: MeshDataset, meshes: dict,
+                            faces: np.ndarray) -> None:
+    """Write recon/gt/oppo .obj triples into mesh{fold}/sex_change_{S,F}
+    (reference main.py:113-122,163-177)."""
+    save_path = os.path.join(checkpoint_dir, f"mesh{fold}")
+    success_path = os.path.join(save_path, "sex_change_S")
+    failed_path = os.path.join(save_path, "sex_change_F")
+    os.makedirs(success_path, exist_ok=True)
+    os.makedirs(failed_path, exist_ok=True)
+
+    for i in range(meshes["index"].shape[0]):
+        ds_idx = int(meshes["index"][i])
+        stem = os.path.basename(dataset.filenames[ds_idx]).split(".")[0]
+        out_dir = (success_path if meshes["oppo_pred"][i] ==
+                   meshes["oppo_label"][i] else failed_path)
+        save_obj(os.path.join(out_dir, stem + "_recon.obj"),
+                 meshes["recon"][i], faces)
+        save_obj(os.path.join(out_dir, stem + "_gt.obj"),
+                 dataset.original[ds_idx], faces)
+        save_obj(os.path.join(out_dir, stem + ".obj"),
+                 meshes["oppo"][i], faces)

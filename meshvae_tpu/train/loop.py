@@ -1,0 +1,249 @@
+"""Jitted train/eval steps and the epoch loop.
+
+TPU-first rework of the reference's train/evaluate functions
+(/root/reference/main.py:54-179):
+  * the whole step — forward, loss, backward, Adam update, *and* the
+    denormalization + inverse-Procrustes original-pose per-vertex error —
+    runs on device under one jit (the reference pulls every batch to CPU for
+    the error math, main.py:83-94);
+  * optimizer is optax with torch-Adam-equivalent semantics (L2 decay added
+    to the gradient *before* the moment updates, matching
+    torch.optim.Adam(weight_decay=...), not AdamW);
+  * the epoch-granular step LR schedule (main.py:266-269) is injected as an
+    optax hyperparameter, so changing it does not retrace;
+  * data parallelism: batches sharded over the mesh "dp" axis; GSPMD inserts
+    the gradient all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..mesh.procrustes import apply_inverse_similarity
+from ..models.losses import vae_loss
+from ..parallel.sharding import batch_sharding, replicated_sharding
+
+
+def lr_for_epoch(epoch: int, base_lr: float, learning_rates: list[float],
+                 learning_rates_epochs: list[float]) -> float:
+    """Reference step schedule: the *last* threshold the epoch exceeds wins
+    (main.py:266-269)."""
+    lr = base_lr
+    for i, threshold in enumerate(learning_rates_epochs):
+        if epoch > threshold:
+            lr = learning_rates[i]
+    return lr
+
+
+def make_optimizer(learning_rate: float, weight_decay: float):
+    """torch.optim.Adam-equivalent with injected (mutable) learning rate."""
+
+    def build(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+class Trainer:
+    """Owns the jitted steps for one (model, operators, config) triple."""
+
+    def __init__(self, model, ops, config: dict, mesh=None):
+        self.model = model
+        self.ops = ops
+        self.config = config
+        self.mesh = mesh
+        self.num_classes = int(config["num_classes"])
+        self.optimizer = make_optimizer(
+            float(config["learning_rate"]), float(config["weight_decay"])
+        )
+
+        donate = (0, 1)
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            batch_shardings = {k: bsh for k in
+                               ("x", "label", "r", "s", "m", "original", "mask")}
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                donate_argnums=donate,
+                in_shardings=(rep, rep, batch_shardings, rep, rep, rep),
+                out_shardings=(rep, rep, rep),
+            )
+            self._eval_step = jax.jit(
+                self._eval_step_impl,
+                in_shardings=(rep, batch_shardings, rep, rep),
+                out_shardings=rep,
+            )
+        else:
+            self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+            self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng_key) -> Any:
+        n0 = self.ops.num_nodes[0]
+        x = jnp.zeros((1, n0, int(self.model.cfg.num_features)), jnp.float32)
+        y = jnp.zeros((1, self.num_classes), jnp.float32)
+        return self.model.init({"params": rng_key}, x, y, self.ops, train=False)
+
+    def init_opt_state(self, params) -> Any:
+        return self.optimizer.init(params)
+
+    # ------------------------------------------------------------------
+    def _forward_loss(self, params, batch, rngs, train: bool):
+        y = jax.nn.one_hot(batch["label"], self.num_classes, dtype=batch["x"].dtype)
+        out = self.model.apply(params, batch["x"], y, self.ops, train=train,
+                               rngs=rngs)
+        loss, aux = vae_loss(batch["x"], out["recon"], out["mu"], out["logvar"],
+                             y, out["y_hat"], mask=batch["mask"])
+        return loss, (out, aux, y)
+
+    def _pose_error(self, recon, batch, norm_mean, norm_std):
+        """Denormalize + inverse Procrustes + per-vertex euclidean error, all
+        on device. Returns [B, N]."""
+        recon_mesh = recon * norm_std + norm_mean
+        recon_orig = apply_inverse_similarity(recon_mesh, batch["r"], batch["s"],
+                                              batch["m"])
+        err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2, axis=-1))
+        return recon_orig, err
+
+    def _train_step_impl(self, params, opt_state, batch, rng, norm_mean, norm_std):
+        rngs = {"latent": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1)}
+        (loss, (out, aux, _)), grads = jax.value_and_grad(
+            self._forward_loss, has_aux=True
+        )(params, batch, rngs, True)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        mask = batch["mask"]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        _, err = self._pose_error(out["recon"], batch, norm_mean, norm_std)
+        metrics = {
+            "loss": loss,
+            "kld": (aux["kld"] * mask).sum() / denom,
+            "rec_loss": (aux["rec_loss"] * mask).sum() / denom,
+            "correct": aux["correct"],
+            "error": (err.mean(axis=-1) * mask).sum() / denom,
+            "count": mask.sum(),
+        }
+        return params, opt_state, metrics
+
+    def _eval_step_impl(self, params, batch, norm_mean, norm_std):
+        loss, (out, aux, y) = self._forward_loss(params, batch, rngs=None,
+                                                 train=False)
+        mask = batch["mask"]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        recon_orig, err = self._pose_error(out["recon"], batch, norm_mean,
+                                           norm_std)
+
+        # sex-change counterfactual (reference main.py:149-155): decode with
+        # the opposite label from the same latent, re-classify the result
+        oppo = 1.0 - y
+        x_oppo = self.model.apply(params, oppo, out["z"], self.ops,
+                                  method=type(self.model).sample)
+        h2 = self.model.apply(params, x_oppo, self.ops,
+                              method=type(self.model).encode)
+        y_hat2 = self.model.apply(params, h2, method=type(self.model).classify)
+        oppo_pred = jnp.argmax(y_hat2, axis=-1)
+        oppo_label = jnp.argmax(oppo, axis=-1)
+        sc_correct = ((oppo_pred == oppo_label) * mask).sum()
+        oppo_orig, _ = self._pose_error(x_oppo, batch, norm_mean, norm_std)
+
+        return {
+            "loss": loss,
+            "kld": (aux["kld"] * mask).sum() / denom,
+            "rec_loss": (aux["rec_loss"] * mask).sum() / denom,
+            "correct": aux["correct"],
+            "count": mask.sum(),
+            "errors": err,                 # [B, N] per-vertex original-pose error
+            "recon_orig": recon_orig,      # [B, N, 3]
+            "oppo_orig": oppo_orig,        # [B, N, 3]
+            "oppo_pred": oppo_pred,        # [B]
+            "oppo_label": oppo_label,      # [B]
+            "sc_correct": sc_correct,
+            "y_hat": out["y_hat"],
+            "z": out["z"],
+        }
+
+    # ------------------------------------------------------------------
+    def _put(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if k != "index"}
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train_epoch(self, params, opt_state, loader, rng, norm_mean, norm_std):
+        """One pass over the loader; returns (params, opt_state, averages)."""
+        totals = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0, "error": 0.0}
+        correct = 0.0
+        count = 0.0
+        norm_mean = jnp.asarray(norm_mean)
+        norm_std = jnp.asarray(norm_std)
+        for step, batch in enumerate(loader):
+            step_rng = jax.random.fold_in(rng, step)
+            params, opt_state, metrics = self._train_step(
+                params, opt_state, self._put(batch), step_rng, norm_mean, norm_std
+            )
+            n = float(metrics["count"])
+            for k in totals:
+                totals[k] += float(metrics[k]) * n
+            correct += float(metrics["correct"])
+            count += n
+        avg = {k: v / max(count, 1.0) for k, v in totals.items()}
+        avg["accuracy"] = correct / max(count, 1.0)
+        avg["count"] = count
+        return params, opt_state, avg
+
+    def evaluate(self, params, loader, norm_mean, norm_std,
+                 collect_meshes: bool = False):
+        """Full-dataset eval; returns averages + concatenated per-vertex error
+        matrix + sex-change success rate (+ meshes if requested)."""
+        totals = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0}
+        correct = sc_correct = count = 0.0
+        errors = []
+        meshes = {"recon": [], "oppo": [], "oppo_pred": [], "oppo_label": [],
+                  "index": []}
+        norm_mean = jnp.asarray(norm_mean)
+        norm_std = jnp.asarray(norm_std)
+        for batch in loader:
+            out = self._eval_step(params, self._put(batch), norm_mean, norm_std)
+            n = float(out["count"])
+            for k in totals:
+                totals[k] += float(out[k]) * n
+            correct += float(out["correct"])
+            sc_correct += float(out["sc_correct"])
+            count += n
+            keep = np.asarray(batch["mask"]) > 0
+            errors.append(np.asarray(out["errors"])[keep])
+            if collect_meshes:
+                meshes["recon"].append(np.asarray(out["recon_orig"])[keep])
+                meshes["oppo"].append(np.asarray(out["oppo_orig"])[keep])
+                meshes["oppo_pred"].append(np.asarray(out["oppo_pred"])[keep])
+                meshes["oppo_label"].append(np.asarray(out["oppo_label"])[keep])
+                meshes["index"].append(np.asarray(batch["index"])[keep])
+        avg = {k: v / max(count, 1.0) for k, v in totals.items()}
+        avg["accuracy"] = correct / max(count, 1.0)
+        avg["sex_change_success_rate"] = sc_correct / max(count, 1.0)
+        avg["count"] = count
+        errors = np.concatenate(errors, axis=0) if errors else np.zeros((0, 1))
+        if collect_meshes:
+            meshes = {k: (np.concatenate(v) if v else np.zeros((0,)))
+                      for k, v in meshes.items()}
+            return avg, errors, meshes
+        return avg, errors

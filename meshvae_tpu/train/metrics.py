@@ -1,0 +1,82 @@
+"""History records, log file, and profiling hooks.
+
+Emits the same artifacts as the reference driver: per-epoch
+`history{fold}.json` with training/validation records
+(/root/reference/main.py:282-310) and a plain-text log file written every 10
+epochs (main.py:303-307). Adds structured per-step timing and optional
+jax.profiler traces (the reference has no tracing at all, SURVEY.md §5.1).
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+
+import jax
+
+
+def history_record(epoch: int, begin: float, duration: float,
+                   train: dict, valid: dict, mean_val_error: float) -> dict:
+    return {
+        "epoch": epoch,
+        "begin": begin,
+        "duration": duration,
+        "training": {
+            "loss": train["loss"],
+            "kld": train["kld"],
+            "reconstruction_loss": train["rec_loss"],
+            "accuracy": train["accuracy"],
+            "error": train["error"],
+        },
+        "validation": {
+            "loss": valid["loss"],
+            "kld": valid["kld"],
+            "reconstruction_loss": valid["rec_loss"],
+            "accuracy": valid["accuracy"],
+            "error": mean_val_error,
+            "sex_change_success_rate": valid["sex_change_success_rate"],
+        },
+    }
+
+
+def write_history(checkpoint_dir: str, fold: int, history: list[dict]) -> None:
+    with open(os.path.join(checkpoint_dir, f"history{fold}.json"), "w") as fp:
+        json.dump(history, fp)
+
+
+class RunLog:
+    """Append-style text log mirroring the reference's my_log file."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._fp = open(path, "w")
+
+    def print(self, *args) -> None:
+        text = " ".join(str(a) for a in args)
+        print(text)
+        print(text, file=self._fp, flush=True)
+
+    def close(self) -> None:
+        self._fp.close()
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir: str | None, epoch: int,
+                  profile_epochs: tuple = (2,)):
+    """Capture a jax.profiler trace for selected epochs when enabled."""
+    if profile_dir and epoch in profile_epochs:
+        with jax.profiler.trace(profile_dir):
+            yield
+    else:
+        yield
+
+
+def epoch_line(epoch: int, train: dict, valid: dict, mean_val_error: float) -> str:
+    return (
+        "Epoch {}, train loss {}(kld {}, recon loss {}, train acc {}) || "
+        "valid loss {}(error {}, rec_loss {}, valid acc {}, sex change acc {})"
+    ).format(epoch, train["loss"], train["kld"], train["rec_loss"],
+             train["accuracy"], valid["loss"], mean_val_error,
+             valid["rec_loss"], valid["accuracy"],
+             valid["sex_change_success_rate"])

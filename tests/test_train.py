@@ -1,0 +1,189 @@
+"""End-to-end training tests on a tiny synthetic dataset (the reference's
+fake-dataset validation strategy, README.md:27-30) plus unit tests for the
+LR schedule, optimizer semantics, checkpointing, and data pipeline."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshvae_tpu.config import default_config
+from meshvae_tpu.data.dataset import BatchIterator, MeshDataset, list_meshes
+from meshvae_tpu.data.synthetic import generate_synthetic_dataset
+from meshvae_tpu.mesh.io import save_obj
+from meshvae_tpu.train.checkpoint import (checkpoint_path, load_checkpoint,
+                                          save_checkpoint)
+from meshvae_tpu.train.driver import run
+from meshvae_tpu.train.loop import Trainer, lr_for_epoch, make_optimizer
+
+from conftest import make_grid_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    """Grid-mesh template + synthetic dataset + small config."""
+    root = tmp_path_factory.mktemp("tiny")
+    template = make_grid_mesh(8, jitter=0.05)
+    template_path = os.path.join(root, "template.obj")
+    save_obj(template_path, template.v, template.f)
+
+    data_dir = os.path.join(root, "data")
+    generate_synthetic_dataset(template, data_dir, n_samples=20, seed=0)
+
+    config = default_config()
+    config.update({
+        "checkpoint_dir": os.path.join(root, "ckpt"),
+        "template": template_path,
+        "root_dir": data_dir,
+        "log_file": os.path.join(root, "ckpt", "log.txt"),
+        "folds": 2,
+        "test_size": 0.25,
+        "n_layers": 2,
+        "num_hidden": 16,
+        "num_style": 4,
+        "downsampling_factors": [2, 2],
+        "polygon_order": [3, 3, 3],
+        "num_conv_filters": [8, 16, 16],
+        "batch_size": 4,
+        "epoch": 2,
+        "hierarchy_cache_dir": os.path.join(root, "cache"),
+    })
+    return config, template, root
+
+
+class TestSchedule:
+    def test_lr_step_schedule(self):
+        lrs, lre = [1e-4, 5e-5], [500, 10000]
+        assert lr_for_epoch(1, 1e-3, lrs, lre) == 1e-3
+        assert lr_for_epoch(500, 1e-3, lrs, lre) == 1e-3
+        assert lr_for_epoch(501, 1e-3, lrs, lre) == 1e-4
+        assert lr_for_epoch(10001, 1e-3, lrs, lre) == 5e-5
+
+
+class TestOptimizer:
+    def test_matches_torch_adam_semantics(self):
+        """First Adam step with L2 decay: update = -lr * g'/( sqrt(v^)+eps )
+        with g' = g + wd*p folded in before the moments."""
+        lr, wd = 1e-2, 0.1
+        opt = make_optimizer(lr, wd)
+        params = {"w": jnp.asarray([1.0, -2.0])}
+        grads = {"w": jnp.asarray([0.5, 0.25])}
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        g = np.array([0.5, 0.25]) + wd * np.array([1.0, -2.0])
+        # bias-corrected first step: m_hat = g, v_hat = g^2
+        expected = -lr * g / (np.abs(g) + 1e-8)
+        np.testing.assert_allclose(np.asarray(updates["w"]), expected,
+                                   rtol=1e-5)
+
+
+class TestDataPipeline:
+    def test_list_meshes_labels_and_rejection(self, tiny_env, tmp_path):
+        config, template, root = tiny_env
+        idx, labels = list_meshes(config)
+        assert len(idx) == 20
+        assert all(labels[n] == (0 if "_f_" in n else 1) for n in idx)
+
+        err_file = os.path.join(tmp_path, "err.txt")
+        with open(err_file, "w") as fp:
+            fp.write(idx[0] + " bad\n" + idx[1] + "\n")
+        cfg2 = dict(config, error_file=err_file)
+        idx2, _ = list_meshes(cfg2)
+        assert len(idx2) == 18 and idx[0] not in idx2
+
+    def test_dataset_normalization_and_inverse(self, tiny_env):
+        config, template, root = tiny_env
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:6], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        assert ds.x.shape == (6, 64, 3)
+        # normalized train data has ~zero mean
+        assert abs(ds.x.mean()) < 0.2
+        # inverse transform recovers the original pose
+        recovered = np.einsum("bnj,bjk->bnk",
+                              ds.aligned * ds.s[:, None, None], ds.r) + ds.m
+        np.testing.assert_allclose(recovered, ds.original, atol=1e-3)
+
+    def test_batch_iterator_pads_and_masks(self, tiny_env):
+        config, template, root = tiny_env
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:6], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        batches = list(BatchIterator(ds, batch_size=4))
+        assert len(batches) == 2
+        assert batches[0]["mask"].sum() == 4
+        assert batches[1]["mask"].sum() == 2
+        assert batches[1]["x"].shape == (4, 64, 3)
+
+
+class TestEndToEnd:
+    def test_kfold_train_and_test(self, tiny_env):
+        config, template, root = tiny_env
+        results = run(config, do_train=True, do_test=True, vis=True)
+        ckpt_dir = config["checkpoint_dir"]
+
+        # artifacts: initial weights, per-fold checkpoints + history, norm.npz
+        assert os.path.exists(os.path.join(ckpt_dir, "initial_weight.msgpack"))
+        assert os.path.exists(os.path.join(ckpt_dir, "norm.npz"))
+        for fold in (1, 2):
+            assert os.path.exists(checkpoint_path(ckpt_dir, fold))
+            with open(os.path.join(ckpt_dir, f"history{fold}.json")) as fp:
+                history = json.load(fp)
+            assert len(history) == 2
+            rec = history[0]
+            assert set(rec) == {"epoch", "begin", "duration", "training",
+                                "validation"}
+            assert set(rec["validation"]) == {
+                "loss", "kld", "reconstruction_loss", "accuracy", "error",
+                "sex_change_success_rate"}
+            assert np.isfinite(rec["training"]["loss"])
+
+        # test results for both folds
+        assert len(results) == 2
+        assert all(np.isfinite(r["loss"]) for r in results)
+        # vis artifacts exist
+        assert os.path.isdir(os.path.join(ckpt_dir, "mesh1"))
+
+    def test_overfits_single_batch(self, tiny_env):
+        """Optimization sanity: 40 Adam steps on one batch reduce the loss."""
+        config, template, root = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, _ = build_model_and_ops(config)
+        trainer = make_trainer(dict(config, learning_rate=0.01), model, ops)
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:4], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        batch = next(iter(BatchIterator(ds, batch_size=4)))
+        mean, std = jnp.asarray(ds.mean), jnp.asarray(ds.std)
+
+        params = trainer.init_params(jax.random.key(0))
+        opt_state = trainer.init_opt_state(params)
+        losses = []
+        for step in range(100):
+            params, opt_state, metrics = trainer._train_step(
+                params, opt_state, trainer._put(batch),
+                jax.random.fold_in(jax.random.key(1), step), mean, std)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] - 2.0, (losses[0], losses[-1])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, tiny_env):
+        config, _, _ = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, template = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        params = trainer.init_params(jax.random.key(0))
+        opt_state = trainer.init_opt_state(params)
+        path = os.path.join(tmp_path, "ck.msgpack")
+        save_checkpoint(path, params, opt_state, 7, 1.5, 2.5)
+        restored = load_checkpoint(path, params, opt_state)
+        assert restored["epoch_num"] == 7
+        assert restored["val_loss"] == 2.5
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(restored["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
