@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness: meshes/sec/chip on the 5k-vertex VAE train step.
+
+Measures the BASELINE.json headline config (cheb_VAE on template5k, batch 16,
+K=6, default.cfg layer sizes) end-to-end: forward + loss + backward + Adam
+update + on-device original-pose error, per jitted step, on the current JAX
+default device. The `vs_baseline` ratio is against a PyTorch-CPU
+implementation of the same math (benchmarks/torch_cpu_baseline.py), since
+the reference publishes no numbers and its dependency stack is not
+installable here (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "meshes/sec/chip", "vs_baseline": N}
+
+Flags: --batch-size, --steps, --skip-torch (reuse cached baseline),
+--method {dense,ell,pallas}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TEMPLATE = os.environ.get(
+    "MESHVAE_TEMPLATE", "/root/reference/template/template5k.obj")
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_torch_baseline.json")
+
+
+def measure_jax(hier, batch_size, steps, warmup, method, precision):
+    import jax
+    import jax.numpy as jnp
+    from meshvae_tpu.models.operators import build_operators
+    from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+    from meshvae_tpu.train.loop import Trainer
+
+    config = {
+        "num_conv_filters": [16, 16, 16, 32, 32],
+        "polygon_order": [6, 6, 6, 6, 6],
+        "n_layers": 4,
+        "num_hidden": 512,
+        "num_style": 16,
+        "num_classes": 2,
+        "dropout": 0.2,
+        "cheb_method": method,
+        "pool_method": "gather",
+        "matmul_precision": precision,
+        "learning_rate": 1e-3,
+        "weight_decay": 5e-4,
+    }
+    ops = build_operators(hier)
+    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
+    model = MeshVAE(cfg)
+    trainer = Trainer(model, ops, config)
+
+    rng = np.random.default_rng(0)
+    n0 = hier.levels[0]
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.int32)),
+        "r": jnp.tile(jnp.eye(3, dtype=jnp.float32), (batch_size, 1, 1)),
+        "s": jnp.ones((batch_size,), jnp.float32),
+        "m": jnp.zeros((batch_size, 1, 3), jnp.float32),
+        "original": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
+        "mask": jnp.ones((batch_size,), jnp.float32),
+    }
+    mean = jnp.zeros((n0, 3), jnp.float32)
+    std = jnp.ones((n0, 3), jnp.float32)
+
+    params = trainer.init_params(jax.random.key(0))
+    opt_state = trainer.init_opt_state(params)
+    key = jax.random.key(1)
+
+    for i in range(warmup):
+        params, opt_state, metrics = trainer._train_step(
+            params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, metrics = trainer._train_step(
+            params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, float(metrics["loss"])
+
+
+def torch_baseline(hier, batch_size, refresh=False):
+    key = f"bs{batch_size}_n{hier.levels[0]}"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as fp:
+                cache = json.load(fp)
+        except Exception:
+            cache = {}
+    if not refresh and key in cache:
+        return cache[key]
+    from benchmarks.torch_cpu_baseline import measure_torch_baseline
+    value = measure_torch_baseline(hier, batch_size=batch_size)
+    cache[key] = value
+    with open(BASELINE_CACHE, "w") as fp:
+        json.dump(cache, fp)
+    return value
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--method", default="dense")
+    parser.add_argument("--precision", default="highest")
+    parser.add_argument("--skip-torch", action="store_true",
+                        help="use cached torch baseline only")
+    parser.add_argument("--refresh-torch", action="store_true")
+    args = parser.parse_args()
+
+    from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
+    from meshvae_tpu.mesh.io import load_obj
+
+    template = load_obj(TEMPLATE)
+    hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
+
+    meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
+                                       args.warmup, args.method, args.precision)
+
+    baseline = None
+    try:
+        if args.skip_torch and os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as fp:
+                baseline = json.load(fp).get(
+                    f"bs{args.batch_size}_n{hier.levels[0]}")
+        else:
+            baseline = torch_baseline(hier, args.batch_size,
+                                      refresh=args.refresh_torch)
+    except Exception as exc:  # baseline failure must not kill the bench
+        print(f"torch baseline unavailable: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": "train_throughput_5k_vae_bs%d" % args.batch_size,
+        "value": round(meshes_per_sec, 2),
+        "unit": "meshes/sec/chip",
+        "vs_baseline": round(meshes_per_sec / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

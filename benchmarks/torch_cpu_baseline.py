@@ -1,0 +1,161 @@
+"""PyTorch-CPU baseline: the denominator for the >=10x speedup target.
+
+The reference (ZOUKaifeng/Mesh-VAE) cannot run in this image (torch-geometric
+/ torch-scatter / psbody-mesh are not installed and installs are not
+allowed), so this module implements the *same math* as the reference's
+training step in minimal PyTorch — ChebConv_batch's K-term recurrence
+(/root/reference/nn/conv.py:557-581) with sparse Laplacian propagation,
+SurfacePool sparse matmuls (nn/pool.py:13-23), the full cheb_VAE
+encoder/decoder/heads (models/cheb_VAE.py) and its loss, driven by
+torch.optim.Adam — written fresh (no code copied) and using torch.sparse.mm
+for propagation, which is *faster* than the reference's python-level
+gather/scatter message passing, so the measured baseline is a conservative
+(generous-to-torch) stand-in.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import torch
+
+
+def _sparse(coo, dtype=torch.float32):
+    coo = coo.tocoo()
+    idx = torch.LongTensor(np.vstack([coo.row, coo.col]))
+    val = torch.tensor(coo.data, dtype=dtype)
+    return torch.sparse_coo_tensor(idx, val, coo.shape).coalesce()
+
+
+class TorchChebVAE(torch.nn.Module):
+    """Same-math torch implementation of the reference cheb_VAE."""
+
+    def __init__(self, hier, filters, K, num_hidden, latent, num_classes,
+                 dropout):
+        super().__init__()
+        from meshvae_tpu.ops.graph import normalized_neg_adjacency
+        import scipy.sparse as sp
+
+        self.n_layers = len(hier.downsample)
+        chain = [3] + list(filters)
+        self.chain = chain
+        self.K = K
+
+        self.lap = [_sparse(normalized_neg_adjacency(a)) for a in hier.adjacency]
+        coarse_lap = normalized_neg_adjacency(hier.adjacency[-1]).tocoo()
+        full = sp.csr_matrix((coarse_lap.data, (coarse_lap.row, coarse_lap.col)),
+                             shape=(hier.levels[0], hier.levels[0]))
+        self.lap_final = _sparse(full)
+        self.down = [_sparse(d) for d in hier.downsample]
+        self.up = [_sparse(u) for u in hier.upsample]
+
+        def cheb_params(k, i, o):
+            w = torch.nn.Parameter(0.1 * torch.randn(k, i, o))
+            b = torch.nn.Parameter(0.1 * torch.randn(o))
+            return w, b
+
+        self.enc_w = torch.nn.ParameterList()
+        self.enc_b = torch.nn.ParameterList()
+        for i in range(len(chain) - 2):
+            w, b = cheb_params(K[i], chain[i], chain[i + 1])
+            self.enc_w.append(w)
+            self.enc_b.append(b)
+        self.dec_w = torch.nn.ParameterList()
+        self.dec_b = torch.nn.ParameterList()
+        for i in range(len(chain) - 1):
+            w, b = cheb_params(K[i], chain[-i - 1], chain[-i - 2])
+            self.dec_w.append(w)
+            self.dec_b.append(b)
+
+        coarse = hier.levels[-1]
+        flat = coarse * chain[-1]
+        self.coarse = coarse
+        self.enc_lin = torch.nn.Linear(flat, num_hidden)
+        self.dec_lin = torch.nn.Linear(latent + num_classes, num_hidden)
+        self.dec_lin_2 = torch.nn.Linear(num_hidden, flat)
+        self.classifier_layer = torch.nn.Linear(num_hidden, num_classes)
+        self.z_mean = torch.nn.Linear(num_hidden + num_classes, latent)
+        self.z_log_var = torch.nn.Linear(num_hidden + num_classes, latent)
+        self.dropout = torch.nn.Dropout(dropout)
+
+    @staticmethod
+    def _prop(lap, x):
+        # x: [B, N, F] -> L x per batch item via sparse mm on [N, B*F]
+        b, n, f = x.shape
+        flat = x.permute(1, 0, 2).reshape(n, b * f)
+        out = torch.sparse.mm(lap, flat)
+        return out.reshape(n, b, f).permute(1, 0, 2)
+
+    def _cheb(self, x, lap, w, bias):
+        out = x @ w[0]
+        tx0 = x
+        if w.shape[0] > 1:
+            tx1 = self._prop(lap, x)
+            out = out + tx1 @ w[1]
+        for k in range(2, w.shape[0]):
+            tx2 = 2 * self._prop(lap, tx1) - tx0
+            out = out + tx2 @ w[k]
+            tx0, tx1 = tx1, tx2
+        if bias is not None:
+            out = out + bias
+        return out
+
+    @staticmethod
+    def _pool(x, mat):
+        b, n, f = x.shape
+        flat = x.permute(1, 0, 2).reshape(n, b * f)
+        out = torch.sparse.mm(mat, flat)
+        return out.reshape(mat.shape[0], b, f).permute(1, 0, 2)
+
+    def forward(self, x, y):
+        b = x.shape[0]
+        x_gt = x
+        for i in range(self.n_layers):
+            x = torch.relu(self._cheb(x, self.lap[i], self.enc_w[i], self.enc_b[i]))
+            x = self._pool(x, self.down[i])
+        h = self.dropout(torch.relu(self.enc_lin(x.reshape(b, -1))))
+        y_hat = torch.softmax(self.classifier_layer(self.dropout(h)), dim=1)
+        hy = torch.cat([y, h], -1)
+        mu, logvar = self.z_mean(hy), self.z_log_var(hy)
+        z = torch.randn_like(mu) * torch.exp(0.5 * logvar) + mu
+        d = self.dropout(torch.relu(self.dec_lin(torch.cat([y, z], -1))))
+        d = self.dropout(torch.relu(self.dec_lin_2(d)))
+        d = d.reshape(b, self.coarse, self.chain[-1])
+        for i in range(self.n_layers):
+            d = self._pool(d, self.up[-i - 1])
+            d = torch.relu(self._cheb(d, self.lap[self.n_layers - i - 1],
+                                      self.dec_w[i], self.dec_b[i]))
+        recon = self._cheb(d, self.lap_final, self.dec_w[-1], None)
+
+        kld = -0.5 * torch.sum(1 + logvar - mu**2 - logvar.exp(), -1)
+        log_sigma = 1.0009118819656134
+        rec = (0.5 * ((recon - x_gt) / np.exp(log_sigma)) ** 2
+               + log_sigma + 0.5 * np.log(2 * np.pi)).sum(-1).sum(-1)
+        logqy = (y_hat * y).sum(-1).log()
+        return (kld + rec - 2 * logqy).mean()
+
+
+def measure_torch_baseline(hier, batch_size=16, steps=5, warmup=2,
+                           seed=0) -> float:
+    """meshes/sec of the torch-CPU train step (forward+backward+Adam)."""
+    torch.manual_seed(seed)
+    model = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32], K=[6] * 5,
+                         num_hidden=512, latent=16, num_classes=2, dropout=0.2)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=5e-4)
+    n0 = hier.levels[0]
+    x = torch.randn(batch_size, n0, 3)
+    y = torch.eye(2)[torch.randint(0, 2, (batch_size,))]
+
+    for _ in range(warmup):
+        opt.zero_grad()
+        loss = model(x, y)
+        loss.backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = model(x, y)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt

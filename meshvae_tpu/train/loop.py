@@ -72,26 +72,40 @@ class Trainer:
             float(config["learning_rate"]), float(config["weight_decay"])
         )
 
+        # ops ride as an explicit jit argument (not a closure constant):
+        # keeps the big dense Laplacians out of the HLO constant pool, so XLA
+        # neither constant-folds through them nor re-hashes them per trace.
         donate = (0, 1)
         if mesh is not None:
             rep = replicated_sharding(mesh)
             bsh = batch_sharding(mesh)
             batch_shardings = {k: bsh for k in
                                ("x", "label", "r", "s", "m", "original", "mask")}
-            self._train_step = jax.jit(
+            self._train_step_fn = jax.jit(
                 self._train_step_impl,
                 donate_argnums=donate,
-                in_shardings=(rep, rep, batch_shardings, rep, rep, rep),
+                in_shardings=(rep, rep, batch_shardings, rep, rep, rep, rep),
                 out_shardings=(rep, rep, rep),
             )
-            self._eval_step = jax.jit(
+            self._eval_step_fn = jax.jit(
                 self._eval_step_impl,
-                in_shardings=(rep, batch_shardings, rep, rep),
+                in_shardings=(rep, batch_shardings, rep, rep, rep),
                 out_shardings=rep,
             )
+            self._ops_on_device = jax.device_put(ops, rep)
         else:
-            self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
-            self._eval_step = jax.jit(self._eval_step_impl)
+            self._train_step_fn = jax.jit(self._train_step_impl,
+                                          donate_argnums=donate)
+            self._eval_step_fn = jax.jit(self._eval_step_impl)
+            self._ops_on_device = ops
+
+    def _train_step(self, params, opt_state, batch, rng, norm_mean, norm_std):
+        return self._train_step_fn(params, opt_state, batch, rng, norm_mean,
+                                   norm_std, self._ops_on_device)
+
+    def _eval_step(self, params, batch, norm_mean, norm_std):
+        return self._eval_step_fn(params, batch, norm_mean, norm_std,
+                                  self._ops_on_device)
 
     # ------------------------------------------------------------------
     def init_params(self, rng_key) -> Any:
@@ -104,9 +118,9 @@ class Trainer:
         return self.optimizer.init(params)
 
     # ------------------------------------------------------------------
-    def _forward_loss(self, params, batch, rngs, train: bool):
+    def _forward_loss(self, params, batch, rngs, train: bool, ops):
         y = jax.nn.one_hot(batch["label"], self.num_classes, dtype=batch["x"].dtype)
-        out = self.model.apply(params, batch["x"], y, self.ops, train=train,
+        out = self.model.apply(params, batch["x"], y, ops, train=train,
                                rngs=rngs)
         loss, aux = vae_loss(batch["x"], out["recon"], out["mu"], out["logvar"],
                              y, out["y_hat"], mask=batch["mask"])
@@ -121,12 +135,13 @@ class Trainer:
         err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2, axis=-1))
         return recon_orig, err
 
-    def _train_step_impl(self, params, opt_state, batch, rng, norm_mean, norm_std):
+    def _train_step_impl(self, params, opt_state, batch, rng, norm_mean,
+                         norm_std, ops):
         rngs = {"latent": jax.random.fold_in(rng, 0),
                 "dropout": jax.random.fold_in(rng, 1)}
         (loss, (out, aux, _)), grads = jax.value_and_grad(
             self._forward_loss, has_aux=True
-        )(params, batch, rngs, True)
+        )(params, batch, rngs, True, ops)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
@@ -143,9 +158,8 @@ class Trainer:
         }
         return params, opt_state, metrics
 
-    def _eval_step_impl(self, params, batch, norm_mean, norm_std):
-        loss, (out, aux, y) = self._forward_loss(params, batch, rngs=None,
-                                                 train=False)
+    def _eval_step_impl(self, params, batch, norm_mean, norm_std, ops):
+        loss, (out, aux, y) = self._forward_loss(params, batch, None, False, ops)
         mask = batch["mask"]
         denom = jnp.maximum(mask.sum(), 1.0)
         recon_orig, err = self._pose_error(out["recon"], batch, norm_mean,
@@ -154,9 +168,9 @@ class Trainer:
         # sex-change counterfactual (reference main.py:149-155): decode with
         # the opposite label from the same latent, re-classify the result
         oppo = 1.0 - y
-        x_oppo = self.model.apply(params, oppo, out["z"], self.ops,
+        x_oppo = self.model.apply(params, oppo, out["z"], ops,
                                   method=type(self.model).sample)
-        h2 = self.model.apply(params, x_oppo, self.ops,
+        h2 = self.model.apply(params, x_oppo, ops,
                               method=type(self.model).encode)
         y_hat2 = self.model.apply(params, h2, method=type(self.model).classify)
         oppo_pred = jnp.argmax(y_hat2, axis=-1)

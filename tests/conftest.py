@@ -2,12 +2,19 @@
 sharding paths compile and execute in CI without TPUs (SURVEY.md §4d)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before any backend initialization. Note this image ships
+# JAX_PLATFORMS=axon (a TPU plugin registered via sitecustomize) — a plain
+# env setdefault is NOT enough; override the config explicitly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
