@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Batch inference CLI — compatible with the reference's
+`python inference.py -c cfg -d data_dir -o out -n fold [-p key value]`
+(/root/reference/inference.py:224-239), plus the real `--error_list` /
+`--inference` / `--pred` selection flags the reference README advertises but
+never implemented (its JSON outputs are unconditional; with no selection
+flags given, all three are written, preserving that behavior)."""
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU Mesh-VAE Inference")
+    parser.add_argument("-c", "--conf", help="path of config file")
+    parser.add_argument("-p", "--parameter", metavar=("parameter", "value"),
+                        action="append", nargs=2, help="config parameters")
+    parser.add_argument("-o", "--output_path", type=str, default=" ")
+    parser.add_argument("-d", "--data_dir", type=str, default=" ")
+    parser.add_argument("-n", "--model", type=int, default=1,
+                        help="fold number of the checkpoint to load")
+    parser.add_argument("--pred", action="store_true",
+                        help="write pred.json (default: write all outputs)")
+    parser.add_argument("--error_list", action="store_true",
+                        help="write error_list.json")
+    parser.add_argument("--inference", action="store_true",
+                        help="write inference.json")
+    parser.add_argument("--no-meshes", action="store_true",
+                        help="skip writing recon/gt/oppo .obj files")
+    parser.add_argument("--cpu", action="store_true", help="force cpu")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from meshvae_tpu.config import apply_overrides, read_config
+    from meshvae_tpu.infer.driver import run_inference
+    from meshvae_tpu.train.checkpoint import checkpoint_path, load_params
+    from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+
+    if args.conf is None:
+        args.conf = os.path.join(os.path.dirname(__file__), "files",
+                                 "default.cfg")
+        print("configuration file not specified, trying to load "
+              "it from current directory", args.conf)
+
+    config = apply_overrides(read_config(args.conf), args.parameter)
+
+    # reference quirk: checkpoint_dir resolves relative to the config file
+    # (inference.py:176-177)
+    config["checkpoint_dir"] = os.path.join(os.path.dirname(args.conf),
+                                            config["checkpoint_dir"])
+    config["root_dir"] = args.data_dir
+
+    model, ops, hier, template = build_model_and_ops(config)
+    trainer = make_trainer(config, model, ops)
+
+    import jax
+    params_target = trainer.init_params(jax.random.key(0))
+    ckpt = checkpoint_path(config["checkpoint_dir"], args.model)
+    from meshvae_tpu.train.checkpoint import load_checkpoint
+    restored = load_checkpoint(ckpt, params_target,
+                               trainer.init_opt_state(params_target))
+    params = restored["params"]
+
+    norm = np.load(os.path.join(config["checkpoint_dir"], "norm.npz"),
+                   allow_pickle=True)
+    mean = norm["mean"].astype(np.float32)
+    std = norm["std"].astype(np.float32)
+
+    any_selected = args.pred or args.error_list or args.inference
+    run_inference(
+        params, model, ops, args.output_path, mean, std, config,
+        template=np.asarray(template.v), batch_size=int(config["batch_size"]),
+        faces=np.asarray(template.f),
+        write_pred=args.pred or not any_selected,
+        write_error_list=args.error_list or not any_selected,
+        write_inference=args.inference or not any_selected,
+        save_meshes=not args.no_meshes,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .driver import run_inference
+
+__all__ = ["run_inference"]

@@ -1,0 +1,137 @@
+"""Batch inference driver — the body behind the `inference.py` CLI.
+
+Pipeline parity with /root/reference/inference.py:63-157: for every mesh in
+the data directory (labels unknown), predict sex with the classifier head,
+reconstruct conditioned on the *predicted* label, decode a sex-swapped
+counterfactual from the same latent, map everything back to original pose,
+and emit pred.json / error_list.json / inference.json plus
+recon/gt/oppo .obj triples under <output>/sex_change/.
+
+TPU-first: one jitted step computes classification, reconstruction,
+counterfactual, and the per-mesh mean/max original-pose errors — the
+encoder runs once (the reference runs it twice, once inside classifier_ and
+once inside forward)."""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import BatchIterator, MeshDataset, list_meshes
+from ..mesh.io import save_obj
+from ..mesh.procrustes import apply_inverse_similarity
+from ..train.checkpoint import checkpoint_path, load_params, save_params
+
+
+class InferenceEngine:
+    """Jitted predicted-label reconstruction + sex-swap counterfactual."""
+
+    def __init__(self, model, ops):
+        self.model = model
+        self.ops = ops
+        self._step = jax.jit(self._step_impl)
+
+    def _step_impl(self, params, batch, norm_mean, norm_std, ops):
+        model = self.model
+        x = batch["x"]
+        h = model.apply(params, x, ops, method=type(model).encode)
+        y_hat = model.apply(params, h, method=type(model).classify)
+        pred = jnp.argmax(y_hat, axis=-1)
+        y = jax.nn.one_hot(pred, y_hat.shape[-1], dtype=x.dtype)
+
+        hy = jnp.concatenate([y, h], axis=-1)
+        mu = model.apply(params, hy,
+                         method=lambda m, v: m.z_mean(v))
+        recon = model.apply(params, y, mu, ops, method=type(model).sample)
+        oppo = 1.0 - y
+        recon_oppo = model.apply(params, oppo, mu, ops,
+                                 method=type(model).sample)
+
+        def to_orig(t):
+            return apply_inverse_similarity(t * norm_std + norm_mean,
+                                            batch["r"], batch["s"], batch["m"])
+
+        recon_orig = to_orig(recon)
+        oppo_orig = to_orig(recon_oppo)
+        err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2, axis=-1))
+        return {
+            "pred": pred,
+            "recon_orig": recon_orig,
+            "oppo_orig": oppo_orig,
+            "err_mean": err.mean(axis=-1),
+            "err_max": err.max(axis=-1),
+        }
+
+    def step(self, params, batch, norm_mean, norm_std):
+        return self._step(params, batch, norm_mean, norm_std, self.ops)
+
+
+def run_inference(net_params, model, ops, output_path: str, mean, std,
+                  config: dict, template, batch_size: int, faces,
+                  write_pred: bool = True, write_error_list: bool = True,
+                  write_inference: bool = True, save_meshes: bool = True):
+    dataset_index, labels = list_meshes(config, sex_from_filename=False)
+    dataset = MeshDataset(dataset_index, config, labels,
+                          template=np.asarray(template), dtype="test")
+    loader = BatchIterator(dataset, batch_size, shuffle=False)
+
+    engine = InferenceEngine(model, ops)
+    mean = jnp.asarray(mean)
+    std = jnp.asarray(std)
+
+    results: dict[str, dict] = {}
+    pred_sex: dict[str, str] = {}
+    error_dict: dict[str, str] = {}
+
+    mesh_dir = os.path.join(output_path, "sex_change")
+    if save_meshes:
+        os.makedirs(mesh_dir, exist_ok=True)
+    os.makedirs(output_path, exist_ok=True)
+
+    for batch in loader:
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+        out = engine.step(net_params, jbatch, mean, std)
+        keep = np.asarray(batch["mask"]) > 0
+        preds = np.asarray(out["pred"])[keep]
+        err_mean = np.asarray(out["err_mean"])[keep]
+        err_max = np.asarray(out["err_max"])[keep]
+        recon = np.asarray(out["recon_orig"])[keep]
+        oppo = np.asarray(out["oppo_orig"])[keep]
+        indices = np.asarray(batch["index"])[keep]
+
+        for i, ds_idx in enumerate(indices):
+            path = dataset.filenames[int(ds_idx)]
+            name = path.split("/").pop()
+            results[name] = {
+                "sex": int(preds[i]),
+                "reconstruction_error": {
+                    "mean": float(err_mean[i]),
+                    "max": float(err_max[i]),
+                },
+            }
+            pred_sex[path] = str(preds[i])
+            error_dict[path] = format(err_mean[i], ".4f")
+
+            if save_meshes:
+                stem = name.split(".")[0]
+                save_obj(os.path.join(mesh_dir, stem + "_recon.obj"),
+                         recon[i], faces)
+                save_obj(os.path.join(mesh_dir, stem + "_gt.obj"),
+                         dataset.original[int(ds_idx)], faces)
+                save_obj(os.path.join(mesh_dir, stem + ".obj"),
+                         oppo[i], faces)
+
+    if write_pred:
+        with open(os.path.join(output_path, "pred.json"), "w") as fp:
+            json.dump(pred_sex, fp)
+    if write_error_list:
+        with open(os.path.join(output_path, "error_list.json"), "w") as fp:
+            json.dump(error_dict, fp)
+    if write_inference:
+        with open(os.path.join(output_path, "inference.json"), "w") as fp:
+            json.dump(results, fp)
+    return results

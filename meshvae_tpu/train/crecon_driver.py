@@ -1,0 +1,216 @@
+"""Second-stage reconstruction-difference classifier driver (crecon).
+
+Pipeline parity with /root/reference/crecon.py: a frozen pretrained VAE
+produces difference features diff = concat(x - recon_oppo, x - recon_same)
+([B, N, 6], crecon.py:162-201; train mode conditions on the true label, eval
+on the prediction), and a Chebyshev GCN is trained on them with
+CrossEntropy over a 5-fold split, best-validation-accuracy checkpointing.
+
+TPU-first: estimate_diff + GCN forward + loss + grads + Adam update run in a
+single jitted step (the reference runs the frozen VAE under no_grad and the
+GCN step separately); the frozen VAE params ride as ordinary device arrays
+(stop_gradient keeps them out of the grad)."""
+from __future__ import annotations
+
+import copy
+import os
+import time
+
+import numpy as np
+from sklearn.model_selection import RepeatedStratifiedKFold, train_test_split
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.dataset import BatchIterator, MeshDataset, list_meshes
+from ..models.gcn import ChebGCN, GCNConfig
+from ..models.vae import MeshVAE
+from .checkpoint import (checkpoint_path, load_checkpoint, save_checkpoint,
+                         save_params, load_params)
+from .driver import build_model_and_ops
+from .loop import make_optimizer, set_learning_rate
+from .metrics import RunLog
+
+
+def estimate_diff(vae: MeshVAE, vae_params, x, labels, ops, train: bool):
+    """Frozen-VAE difference features (reference crecon.py:162-201).
+
+    x: [B, N, 3] normalized; labels: [B] int. Returns (diff [B, N, 6],
+    correct scalar, pred [B])."""
+    h = vae.apply(vae_params, x, ops, method=type(vae).encode)
+    y_hat = vae.apply(vae_params, h, method=type(vae).classify)
+    pred = jnp.argmax(y_hat, axis=-1)
+    correct = jnp.sum(pred == labels)
+
+    cond = labels if train else pred
+    onehot = jax.nn.one_hot(cond, y_hat.shape[-1], dtype=x.dtype)
+    hy = jnp.concatenate([onehot, h], axis=-1)
+    mu = vae.apply(vae_params, hy, method=lambda m, v: m.z_mean(v))
+    recon = vae.apply(vae_params, onehot, mu, ops, method=type(vae).sample)
+    recon_oppo = vae.apply(vae_params, 1.0 - onehot, mu, ops,
+                           method=type(vae).sample)
+    diff = jnp.concatenate([x - recon_oppo, x - recon], axis=-1)
+    return jax.lax.stop_gradient(diff), correct, pred
+
+
+class CreconTrainer:
+    def __init__(self, gcn: ChebGCN, vae: MeshVAE, ops, config: dict):
+        self.gcn = gcn
+        self.vae = vae
+        self.ops = ops
+        self.optimizer = make_optimizer(float(config["learning_rate"]),
+                                        float(config["weight_decay"]))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init_params(self, rng_key):
+        n0 = self.ops.num_nodes[0]
+        x = jnp.zeros((1, n0, int(self.gcn.cfg.num_features)), jnp.float32)
+        return self.gcn.init(rng_key, x, self.ops)
+
+    def _loss(self, params, diff, labels, mask, ops):
+        logits = self.gcn.apply(params, diff, ops)
+        nll = -jax.nn.log_softmax(logits)[jnp.arange(labels.shape[0]), labels]
+        loss = jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1.0)
+        return loss, logits
+
+    def _train_step_impl(self, params, opt_state, vae_params, batch, ops):
+        diff, _, _ = estimate_diff(self.vae, vae_params, batch["x"],
+                                   batch["label"], ops, train=True)
+        (loss, logits), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, diff, batch["label"], batch["mask"], ops)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        pred = jnp.argmax(jax.nn.softmax(logits), axis=-1)
+        correct = jnp.sum((pred == batch["label"]) * batch["mask"])
+        return params, opt_state, {"loss": loss, "correct": correct,
+                                   "count": batch["mask"].sum()}
+
+    def _eval_step_impl(self, params, vae_params, batch, ops):
+        diff, _, _ = estimate_diff(self.vae, vae_params, batch["x"],
+                                   batch["label"], ops, train=False)
+        loss, logits = self._loss(params, diff, batch["label"], batch["mask"],
+                                  ops)
+        pred = jnp.argmax(jax.nn.softmax(logits), axis=-1)
+        correct = jnp.sum((pred == batch["label"]) * batch["mask"])
+        return {"loss": loss, "correct": correct, "count": batch["mask"].sum(),
+                "pred": pred}
+
+    def run_epoch(self, params, opt_state, vae_params, loader, train: bool):
+        total_loss = correct = count = 0.0
+        batches = 0
+        errs: dict[str, str] = {}
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+            if train:
+                params, opt_state, m = self._train_step(params, opt_state,
+                                                        vae_params, jb,
+                                                        self.ops)
+            else:
+                m = self._eval_step(params, vae_params, jb, self.ops)
+            total_loss += float(m["loss"])
+            correct += float(m["correct"])
+            count += float(m["count"])
+            batches += 1
+        # the reference reports sum-of-batch-losses / num_batches
+        # (crecon.py:100,150 with len(loader) as denominator)
+        avg_loss = total_loss / max(batches, 1)
+        acc = correct / max(count, 1.0)
+        return params, opt_state, avg_loss, acc
+
+
+def run(config: dict, do_train: bool, do_test: bool):
+    checkpoint_dir = config["checkpoint_dir"]
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    seed = int(config["random_seeds"])
+    batch_size = int(config["batch_size"])
+    total_epochs = int(config["epoch"])
+
+    # the VAE and the GCN share the template/hierarchy
+    vae, ops, hier, template = build_model_and_ops(config)
+    gcn_cfg = GCNConfig.from_config(
+        config, coarse_verts=hier.levels[-1],
+        num_features=2 * template.v.shape[1])
+    gcn = ChebGCN(gcn_cfg)
+    trainer = CreconTrainer(gcn, vae, ops, config)
+
+    # load the frozen pretrained VAE (crecon.py:240-246)
+    vae_ckpt = config["checkpoint_file"]
+    if not vae_ckpt or not os.path.exists(vae_ckpt):
+        raise FileNotFoundError(
+            f"crecon needs a pretrained VAE checkpoint; checkpoint_file="
+            f"{vae_ckpt!r} not found")
+    from .loop import Trainer
+    vae_trainer = Trainer(vae, ops, config)
+    vae_params_target = vae_trainer.init_params(jax.random.key(0))
+    restored = load_checkpoint(vae_ckpt, vae_params_target,
+                               vae_trainer.init_opt_state(vae_params_target))
+    vae_params = restored["params"]
+
+    log = RunLog(config["log_file"])
+    log.print("model type:", config["type"])
+
+    init_params = trainer.init_params(jax.random.key(seed))
+    init_path = os.path.join(checkpoint_dir, "initial_weight_gcn.msgpack")
+    save_params(init_path, init_params)
+
+    dataset_index, labels = list_meshes(config)
+    skf = RepeatedStratifiedKFold(n_splits=5, n_repeats=1, random_state=seed)
+    y_dummy = np.ones(len(dataset_index))
+    test_size = float(config["test_size"])
+
+    results = []
+    n = 0
+    for train_index, test_index in skf.split(dataset_index, y_dummy):
+        train_names, valid_names = train_test_split(
+            np.array(dataset_index)[train_index], test_size=test_size,
+            random_state=seed)
+        n += 1
+        params = load_params(init_path, copy.deepcopy(init_params))
+        opt_state = trainer.optimizer.init(params)
+
+        if do_train:
+            train_ds = MeshDataset(list(train_names), config, labels,
+                                   template=np.asarray(template.v),
+                                   dtype="train")
+            valid_ds = MeshDataset(list(valid_names), config, labels,
+                                   template=np.asarray(template.v),
+                                   dtype="test")
+            train_loader = BatchIterator(train_ds, batch_size, shuffle=True,
+                                         seed=seed + n)
+            valid_loader = BatchIterator(valid_ds, batch_size, shuffle=False)
+
+            best_val_acc = 0.0
+            for epoch in range(1, total_epochs + 1):
+                params, opt_state, tr_loss, tr_acc = trainer.run_epoch(
+                    params, opt_state, vae_params, train_loader, train=True)
+                _, _, va_loss, va_acc = trainer.run_epoch(
+                    params, opt_state, vae_params, valid_loader, train=False)
+                if va_acc >= best_val_acc:
+                    save_checkpoint(checkpoint_path(checkpoint_dir, n), params,
+                                    opt_state, n, tr_loss, va_loss)
+                    best_val_acc = va_acc
+                log.print("epoch ", epoch, " Train loss ", tr_loss,
+                          "train acc", tr_acc, " Val loss ", va_loss,
+                          "acc ", va_acc)
+
+        if do_test:
+            if not do_train:
+                ck = load_checkpoint(checkpoint_path(checkpoint_dir, n),
+                                     copy.deepcopy(init_params),
+                                     trainer.optimizer.init(init_params))
+                params = ck["params"]
+            test_ds = MeshDataset(list(np.array(dataset_index)[test_index]),
+                                  config, labels,
+                                  template=np.asarray(template.v),
+                                  dtype="test")
+            test_loader = BatchIterator(test_ds, batch_size, shuffle=False)
+            _, _, te_loss, te_acc = trainer.run_epoch(
+                params, opt_state, vae_params, test_loader, train=False)
+            log.print("test loss ", te_loss, "test acc", te_acc)
+            results.append({"fold": n, "test_loss": te_loss,
+                            "test_acc": te_acc})
+
+    log.close()
+    return results
