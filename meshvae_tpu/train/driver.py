@@ -85,6 +85,17 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
     if not dataset_index:
         raise RuntimeError(f"no meshes found under {config['root_dir']}")
 
+    # working resume (the reference's resume path references undefined names
+    # and crashes, main.py:229-238): restore params/opt-state/epoch into the
+    # first fold; later folds start fresh from the initial snapshot.
+    resume = None
+    if config.get("checkpoint_file"):
+        resume = load_checkpoint(config["checkpoint_file"],
+                                 copy.deepcopy(init_params),
+                                 trainer.init_opt_state(init_params))
+        log.print("resuming from", config["checkpoint_file"],
+                  "at epoch", resume["epoch_num"])
+
     skf = RepeatedStratifiedKFold(n_splits=n_splits, n_repeats=1,
                                   random_state=seed)
     y_dummy = np.ones(len(dataset_index))
@@ -98,6 +109,11 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
         n += 1
         params = load_params(init_path, copy.deepcopy(init_params))
         opt_state = trainer.init_opt_state(params)
+        start_epoch = 1
+        if resume is not None and n == 1:
+            params = resume["params"]
+            opt_state = resume["opt_state"]
+            start_epoch = int(resume["epoch_num"]) + 1
         history = []
 
         if do_train:
@@ -114,7 +130,7 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
             best_loss = float("inf")
             epoch_rng = jax.random.key(seed * 1000 + n)
 
-            for epoch in range(1, total_epochs + 1):
+            for epoch in range(start_epoch, total_epochs + 1):
                 begin = time.time()
                 lr = lr_for_epoch(epoch, base_lr, config["learning_rates"],
                                   config["learning_rates_epochs"])
@@ -130,8 +146,11 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                 duration = time.time() - begin
 
                 if valid_avg["loss"] <= best_loss:
+                    # unlike the reference (which stores the fold number in
+                    # epoch_num, main.py:279), store the real epoch so
+                    # resume restarts where the checkpoint was taken
                     save_checkpoint(checkpoint_path(checkpoint_dir, n), params,
-                                    opt_state, n, train_avg["loss"],
+                                    opt_state, epoch, train_avg["loss"],
                                     valid_avg["loss"])
                     best_loss = valid_avg["loss"]
 

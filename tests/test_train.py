@@ -187,3 +187,30 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(restored["params"])
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestResume:
+    def test_resume_from_checkpoint(self, tiny_env):
+        """checkpoint_file resumes fold 1 at epoch_num + 1 (the reference's
+        resume path is broken; ours must work)."""
+        config, template, root = tiny_env
+        ckpt_dir = os.path.join(root, "resume_ckpt")
+        cfg1 = dict(config, checkpoint_dir=ckpt_dir, folds=2, epoch=2,
+                    log_file=os.path.join(ckpt_dir, "log.txt"))
+        run(cfg1, do_train=True, do_test=False)
+        with open(os.path.join(ckpt_dir, "history1.json")) as fp:
+            assert len(json.load(fp)) == 2
+
+        # resume: total epochs becomes 4; fold 1 restarts at the
+        # checkpoint's saved epoch + 1, fold 2 trains from scratch
+        with open(checkpoint_path(ckpt_dir, 1) + ".meta.json") as fp:
+            saved_epoch = json.load(fp)["epoch_num"]
+        cfg2 = dict(cfg1, epoch=4,
+                    checkpoint_file=checkpoint_path(ckpt_dir, 1))
+        run(cfg2, do_train=True, do_test=False)
+        with open(os.path.join(ckpt_dir, "history1.json")) as fp:
+            hist1 = json.load(fp)
+        assert [h["epoch"] for h in hist1] == list(range(saved_epoch + 1, 5))
+        with open(os.path.join(ckpt_dir, "history2.json")) as fp:
+            hist2 = json.load(fp)
+        assert [h["epoch"] for h in hist2] == [1, 2, 3, 4]
