@@ -69,9 +69,30 @@ def barycentric_transfer(
     source_f: np.ndarray,
     target_v: np.ndarray,
     n_candidates: int = 16,
+    use_native: str = "auto",
 ) -> sp.csr_matrix:
     """Build U [n_target, n_source] with U @ source_vertices approximating
-    target_vertices via nearest-surface-point barycentric interpolation."""
+    target_vertices via nearest-surface-point barycentric interpolation.
+
+    use_native: "auto" prefers the C++ uniform-grid implementation when
+    libmeshops.so is built; "never"/"always" force a path."""
+    if use_native != "never":
+        from ..native import barycentric_transfer_native
+
+        native = barycentric_transfer_native(source_v, source_f, target_v)
+        if native is not None:
+            cols, weights = native
+            t = np.asarray(target_v).shape[0]
+            rows = np.repeat(np.arange(t), 3)
+            mask = cols.ravel() >= 0
+            u = sp.csr_matrix(
+                (weights.ravel()[mask], (rows[mask], cols.ravel()[mask])),
+                shape=(t, np.asarray(source_v).shape[0]))
+            u.sum_duplicates()
+            return u
+        if use_native == "always":
+            raise RuntimeError("native meshops library not built; run "
+                               "python -m meshvae_tpu.native.build")
     source_v = np.asarray(source_v, dtype=np.float64)
     source_f = np.asarray(source_f, dtype=np.int64)
     target_v = np.asarray(target_v, dtype=np.float64)

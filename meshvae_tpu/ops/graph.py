@@ -25,6 +25,8 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
+from .block_sparse import BlockSparseOperator, to_block_sparse
+
 
 def normalized_neg_adjacency(adjacency: sp.spmatrix) -> sp.csr_matrix:
     """-D^{-1/2} A D^{-1/2} with unit edge weights and self-loops removed.
@@ -50,11 +52,14 @@ def normalized_neg_adjacency(adjacency: sp.spmatrix) -> sp.csr_matrix:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GraphOperator:
-    """The Chebyshev propagation operator at one hierarchy level."""
+    """The Chebyshev propagation operator at one hierarchy level, in three
+    layouts: dense [N, N] (MXU matmul path), padded neighbor-list (gather
+    path), and 128-block CSR (Pallas kernel path)."""
 
     dense: jnp.ndarray       # [N, N] float32 dense L_hat
     ell_idx: jnp.ndarray     # [N, max_deg] int32 neighbor ids (self-padded)
     ell_w: jnp.ndarray       # [N, max_deg] float32 weights (0 on padding)
+    bsr: "BlockSparseOperator"
     n: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -88,6 +93,7 @@ def cheb_operator(adjacency: sp.spmatrix, dtype=jnp.float32) -> GraphOperator:
         dense=jnp.asarray(lap.toarray(), dtype=dtype),
         ell_idx=jnp.asarray(idx),
         ell_w=jnp.asarray(w, dtype=dtype),
+        bsr=to_block_sparse(lap),
         n=lap.shape[0],
     )
 
@@ -111,6 +117,7 @@ def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32) -> Gr
         dense=jnp.asarray(full.toarray(), dtype=dtype),
         ell_idx=jnp.asarray(idx),
         ell_w=jnp.asarray(w, dtype=dtype),
+        bsr=to_block_sparse(full),
         n=n_full,
     )
 

@@ -1,0 +1,140 @@
+"""Fused Pallas TPU kernel for the Chebyshev propagation (block-sparse SpMM).
+
+The hot op (SURVEY.md §3: ChebConv_batch's K-order recurrence) is dominated
+by L_hat @ X. The dense-MXU path streams the full N^2 operator from HBM
+(100 MB at level 0) although only ~0.1% of entries are nonzero; this kernel
+streams only the occupied 128x128 blocks (~8 MB, measured 7.6% occupancy on
+template5k) with scalar-prefetched block coordinates driving the BlockSpec
+index maps, accumulating each output row-block in VMEM across consecutive
+grid steps. The normalized operator is symmetric, so the custom VJP is the
+same kernel applied to the cotangent.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .block_sparse import BLOCK, BlockSparseOperator
+
+_COL_PANEL = 128
+
+
+def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
+    b = pl.program_id(1)
+    # HIGHEST keeps the MXU in true-f32 mode (default truncates to bf16,
+    # which breaks the <1e-4 parity budget)
+    contrib = jnp.dot(l_ref[0], x_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(first_ref[b] == 1)
+    def _():
+        o_ref[:] = contrib
+
+    @pl.when(first_ref[b] == 0)
+    def _():
+        o_ref[:] = o_ref[:] + contrib
+
+
+def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
+    """y = L @ x2d with x2d [n_pad, C], C a multiple of the column panel."""
+    n_pad, c = x2d.shape
+    assert n_pad == bsr.n_pad, (n_pad, bsr.n_pad)
+    assert c % _COL_PANEL == 0, c
+    panels = c // _COL_PANEL
+    nb = bsr.num_blocks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(panels, nb),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, BLOCK), lambda j, b, br, bc, fr: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, _COL_PANEL),
+                         lambda j, b, br, bc, fr: (bc[b], j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, _COL_PANEL),
+                               lambda j, b, br, bc, fr: (br[b], j),
+                               memory_space=pltpu.VMEM),
+    )
+    flops = 2 * nb * BLOCK * BLOCK * c
+    bytes_accessed = nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+    )(bsr.block_row, bsr.block_col, bsr.first, bsr.blocks, x2d)
+
+
+def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable y = L @ x (L symmetric: the VJP reuses the kernel)."""
+
+    @jax.custom_vjp
+    def mm(x):
+        return _bsr_matmul_impl(bsr, x)
+
+    def fwd(x):
+        return _bsr_matmul_impl(bsr, x), None
+
+    def bwd(_, g):
+        return (_bsr_matmul_impl(bsr, g),)
+
+    mm.defvjp(fwd, bwd)
+    return mm(x2d)
+
+
+def _pad_amounts(n: int, b: int, f: int):
+    n_pad = -(-n // BLOCK) * BLOCK
+    f_pad = f
+    while (b * f_pad) % _COL_PANEL != 0:
+        f_pad += 1
+    return n_pad, f_pad
+
+
+def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
+                     bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Chebyshev conv with Pallas block-sparse propagation.
+
+    x: [B, N, F_in] -> [B, N, F_out]. The recurrence runs in a padded
+    [N_pad, B, F_pad] layout (one transpose in/out; the 2D reshape for the
+    SpMM is free), with zero-padded weights so the channel mix stays exact.
+    """
+    bsr: BlockSparseOperator = op.bsr
+    b, n, f_in = x.shape
+    k, _, f_out = weight.shape
+    n_pad, f_pad = _pad_amounts(n, b, f_in)
+
+    xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # [N, B, F]
+    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
+    w = jnp.pad(weight.astype(jnp.float32),
+                ((0, 0), (0, f_pad - f_in), (0, 0)))
+
+    prop = lambda t: bsr_matmul(bsr, t.reshape(n_pad, b * f_pad)).reshape(
+        n_pad, b, f_pad)
+    mix = lambda t, wk: jax.lax.dot_general(
+        t, wk, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # [N, B, F_out]
+
+    tx0 = xt
+    out = mix(tx0, w[0])
+    if k > 1:
+        tx1 = prop(xt)
+        out = out + mix(tx1, w[1])
+    for i in range(2, k):
+        tx2 = 2.0 * prop(tx1) - tx0
+        out = out + mix(tx2, w[i])
+        tx0, tx1 = tx1, tx2
+
+    out = out[:n]                      # drop row padding
+    out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]
+    if bias is not None:
+        out = out + bias
+    return out
