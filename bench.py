@@ -29,7 +29,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_torch_baseline.json")
 
 
-def measure_jax(hier, batch_size, steps, warmup, method, precision):
+def measure_jax(hier, batch_size, steps, warmup, method, precision,
+                polygon_order=6):
     import jax
     import jax.numpy as jnp
     from meshvae_tpu.models.operators import build_operators
@@ -38,7 +39,7 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision):
 
     config = {
         "num_conv_filters": [16, 16, 16, 32, 32],
-        "polygon_order": [6, 6, 6, 6, 6],
+        "polygon_order": [polygon_order] * 5,
         "n_layers": 4,
         "num_hidden": 512,
         "num_style": 16,
@@ -87,8 +88,8 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision):
     return batch_size * steps / dt, float(metrics["loss"])
 
 
-def torch_baseline(hier, batch_size, refresh=False):
-    key = f"bs{batch_size}_n{hier.levels[0]}"
+def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
+    key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         try:
@@ -99,7 +100,8 @@ def torch_baseline(hier, batch_size, refresh=False):
     if not refresh and key in cache:
         return cache[key]
     from benchmarks.torch_cpu_baseline import measure_torch_baseline
-    value = measure_torch_baseline(hier, batch_size=batch_size)
+    value = measure_torch_baseline(hier, batch_size=batch_size,
+                                   polygon_order=polygon_order)
     cache[key] = value
     with open(BASELINE_CACHE, "w") as fp:
         json.dump(cache, fp)
@@ -116,31 +118,45 @@ def main():
     parser.add_argument("--skip-torch", action="store_true",
                         help="use cached torch baseline only")
     parser.add_argument("--refresh-torch", action="store_true")
+    parser.add_argument("--workload", default="default",
+                        choices=["default", "scaled20k"],
+                        help="scaled20k: midpoint-subdivided ~20k-vertex "
+                             "template with K=10 (BASELINE.json config 5)")
     args = parser.parse_args()
 
     from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
     from meshvae_tpu.mesh.io import load_obj
 
     template = load_obj(TEMPLATE)
+    polygon_order = 6
+    if args.workload == "scaled20k":
+        from meshvae_tpu.mesh.subdivide import subdivide_midpoint
+        template = subdivide_midpoint(template)
+        polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
 
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
-                                       args.warmup, args.method, args.precision)
+                                       args.warmup, args.method,
+                                       args.precision,
+                                       polygon_order=polygon_order)
 
     baseline = None
     try:
         if args.skip_torch and os.path.exists(BASELINE_CACHE):
             with open(BASELINE_CACHE) as fp:
                 baseline = json.load(fp).get(
-                    f"bs{args.batch_size}_n{hier.levels[0]}")
+                    f"bs{args.batch_size}_n{hier.levels[0]}"
+                    f"_k{polygon_order}")
         else:
             baseline = torch_baseline(hier, args.batch_size,
-                                      refresh=args.refresh_torch)
+                                      refresh=args.refresh_torch,
+                                      polygon_order=polygon_order)
     except Exception as exc:  # baseline failure must not kill the bench
         print(f"torch baseline unavailable: {exc}", file=sys.stderr)
 
+    tag = "5k" if args.workload == "default" else "20k"
     result = {
-        "metric": "train_throughput_5k_vae_bs%d" % args.batch_size,
+        "metric": "train_throughput_%s_vae_bs%d" % (tag, args.batch_size),
         "value": round(meshes_per_sec, 2),
         "unit": "meshes/sec/chip",
         "vs_baseline": round(meshes_per_sec / baseline, 2) if baseline else None,

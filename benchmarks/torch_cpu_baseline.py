@@ -136,10 +136,11 @@ class TorchChebVAE(torch.nn.Module):
 
 
 def measure_torch_baseline(hier, batch_size=16, steps=5, warmup=2,
-                           seed=0) -> float:
+                           seed=0, polygon_order=6) -> float:
     """meshes/sec of the torch-CPU train step (forward+backward+Adam)."""
     torch.manual_seed(seed)
-    model = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32], K=[6] * 5,
+    model = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32],
+                         K=[polygon_order] * 5,
                          num_hidden=512, latent=16, num_classes=2, dropout=0.2)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=5e-4)
     n0 = hier.levels[0]

@@ -1,0 +1,41 @@
+"""Loop-style 1-to-4 triangle subdivision (midpoint split).
+
+Used to synthesize the scaled benchmark workload (BASELINE.json config 5:
+"20k-vertex mesh, K=10") from the 4,998-vertex template: one subdivision of
+template5k yields 4998 + ~14994 edge midpoints ~= 20k vertices with the same
+surface. Geometry-preserving midpoint split (no smoothing) so the shape stays
+the template's.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .io import TriMesh
+
+
+def subdivide_midpoint(mesh: TriMesh) -> TriMesh:
+    v = np.asarray(mesh.v, dtype=np.float64)
+    f = np.asarray(mesh.f, dtype=np.int64)
+
+    edge_mid: dict[tuple[int, int], int] = {}
+    new_verts = [v]
+    next_id = v.shape[0]
+
+    def midpoint(a: int, b: int) -> int:
+        nonlocal next_id
+        key = (a, b) if a < b else (b, a)
+        if key not in edge_mid:
+            edge_mid[key] = next_id
+            new_verts.append(0.5 * (v[a] + v[b])[None, :])
+            next_id += 1
+        return edge_mid[key]
+
+    new_faces = []
+    for a, b, c in f:
+        ab = midpoint(int(a), int(b))
+        bc = midpoint(int(b), int(c))
+        ca = midpoint(int(c), int(a))
+        new_faces.extend([(a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca)])
+
+    return TriMesh(np.concatenate(new_verts, axis=0),
+                   np.asarray(new_faces, dtype=np.int64))

@@ -1,0 +1,96 @@
+"""Torch-checkpoint importer: reference state_dict names -> flax params."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from meshvae_tpu.mesh.hierarchy import build_hierarchy
+from meshvae_tpu.models.operators import build_operators
+from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+from meshvae_tpu.train.torch_import import import_torch_vae_state
+
+from conftest import make_grid_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_grid_mesh(8, jitter=0.05)
+    hier = build_hierarchy(mesh, [2, 2])
+    ops = build_operators(hier)
+    cfg = VAEConfig(num_features=3, filters=(8, 16, 16),
+                    polygon_order=(3, 3, 3), n_layers=2, num_hidden=32,
+                    latent=4, num_classes=2, dropout=0.2,
+                    coarse_verts=hier.levels[-1])
+    model = MeshVAE(cfg)
+    x = jnp.zeros((1, hier.levels[0], 3))
+    y = jnp.zeros((1, 2))
+    params = model.init({"params": jax.random.key(0)}, x, y, ops, train=False)
+    return model, params, ops, hier, cfg
+
+
+def make_reference_state_dict(params, seed=0):
+    """Synthesize a state_dict with the *reference's* parameter names
+    (cheb.{i}.weight, enc_lin.weight [out,in], ... incl. the dead dec_lin_1)
+    shaped to match `params`."""
+    gen = torch.Generator().manual_seed(seed)
+    sd = {}
+    p = params["params"]
+    for i in (0, 1):
+        w = p[f"cheb_enc_{i}"]["weight"]
+        sd[f"cheb.{i}.weight"] = torch.randn(*w.shape, generator=gen)
+        sd[f"cheb.{i}.bias"] = torch.randn(w.shape[-1], generator=gen)
+    for i in (0, 1, 2):
+        w = p[f"cheb_dec_{i}"]["weight"]
+        sd[f"cheb_dec.{i}.weight"] = torch.randn(*w.shape, generator=gen)
+        if "bias" in p[f"cheb_dec_{i}"]:
+            sd[f"cheb_dec.{i}.bias"] = torch.randn(w.shape[-1], generator=gen)
+    for lin in ("enc_lin", "dec_lin", "dec_lin_2", "classifier_layer",
+                "z_mean", "z_log_var"):
+        k = p[lin]["kernel"]  # [in, out]
+        sd[f"{lin}.weight"] = torch.randn(k.shape[1], k.shape[0],
+                                          generator=gen)
+        sd[f"{lin}.bias"] = torch.randn(k.shape[1], generator=gen)
+    # dead head present in real reference checkpoints (cheb_VAE.py:165)
+    sd["dec_lin_1.weight"] = torch.randn(3, 3, generator=gen)
+    sd["dec_lin_1.bias"] = torch.randn(3, generator=gen)
+    return sd
+
+
+class TestImport:
+    def test_values_land_in_right_places(self, setup):
+        model, params, ops, hier, cfg = setup
+        sd = make_reference_state_dict(params)
+        imported = import_torch_vae_state(sd, params)
+        p = imported["params"]
+        np.testing.assert_array_equal(
+            np.asarray(p["cheb_enc_0"]["weight"]),
+            sd["cheb.0.weight"].numpy())
+        np.testing.assert_array_equal(
+            np.asarray(p["cheb_dec_1"]["bias"]), sd["cheb_dec.1.bias"].numpy())
+        # linear weights transposed into kernels
+        np.testing.assert_array_equal(
+            np.asarray(p["z_mean"]["kernel"]), sd["z_mean.weight"].numpy().T)
+        np.testing.assert_array_equal(
+            np.asarray(p["enc_lin"]["bias"]), sd["enc_lin.bias"].numpy())
+        # final decoder conv stays bias-free
+        assert "bias" not in p["cheb_dec_2"]
+
+    def test_imported_model_runs(self, setup):
+        model, params, ops, hier, cfg = setup
+        sd = make_reference_state_dict(params, seed=1)
+        imported = import_torch_vae_state(sd, params)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, hier.levels[0], 3))
+                        .astype(np.float32))
+        y = jax.nn.one_hot(jnp.array([0, 1]), 2)
+        out = model.apply(imported, x, y, ops, train=False)
+        assert np.all(np.isfinite(np.asarray(out["recon"])))
+
+    def test_shape_mismatch_raises(self, setup):
+        model, params, ops, hier, cfg = setup
+        sd = make_reference_state_dict(params)
+        sd["enc_lin.weight"] = torch.randn(5, 7)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            import_torch_vae_state(sd, params)
