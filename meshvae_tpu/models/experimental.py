@@ -1,0 +1,157 @@
+"""Experimental / auxiliary modules mirroring the reference's extra layers.
+
+The reference carries several modules that its shipped configs never enable
+(SURVEY.md §2a marks them dead): the StyleGAN-style equalized-LR linear and
+adaptive instance norm (/root/reference/models/cheb_VAE.py:30-101), a graph
+batch-norm (models/cheb_cls.py:32-53), spatial graph convolution and graph
+attention (nn/conv.py:589-683), and SortPool / DIFFPool (nn/pool.py:28-105).
+They exist here as working, tested flax equivalents so the framework's
+capability surface is a superset of the reference's, expressed TPU-first
+(static dense/gather operators, no scatter message passing).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.graph import GraphOperator
+
+
+class EqualLinear(nn.Module):
+    """Linear with runtime weight scaling by sqrt(2 / fan_in) (equalized
+    learning rate; reference EqualLR/EqualLinear, cheb_VAE.py:30-73)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.normal(1.0),
+                            (fan_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = math.sqrt(2.0 / fan_in)
+        return x @ (kernel * scale) + bias
+
+
+class AdaptiveInstanceNorm(nn.Module):
+    """AdaIN conditioned on a style vector (reference cheb_VAE.py:76-101):
+    normalize over the vertex dim, then scale/shift with style-predicted
+    gamma/beta (gamma bias initialized to 1)."""
+
+    channels: int
+    eps: float = 1e-9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, N, C]; style: [B, S]
+        def bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            return b.at[: self.channels].set(1.0)
+
+        fan_in = style.shape[-1]
+        kernel = self.param("style_kernel", nn.initializers.normal(1.0),
+                            (fan_in, 2 * self.channels))
+        bias = self.param("style_bias", bias_init, (2 * self.channels,))
+        scale = math.sqrt(2.0 / fan_in)
+        gb = (style @ (kernel * scale) + bias)[:, None, :]
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+
+        mean = x.mean(axis=1, keepdims=True)
+        var = x.var(axis=1, ddof=1, keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+
+
+class GraphNorm(nn.Module):
+    """Batch-dim normalization with learned affine (reference graph_norm,
+    cheb_cls.py:32-53: beta multiplies, gamma shifts; beta init 1, gamma 0)."""
+
+    num_features: int
+    eps: float = 1e-9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.zeros, (self.num_features,))
+        beta = self.param("beta", nn.initializers.ones, (self.num_features,))
+        mean = x.mean(axis=0, keepdims=True)
+        var = ((x - mean) ** 2).sum(axis=0, keepdims=True) / x.shape[0]
+        return beta * (x - mean) / jnp.sqrt(var + self.eps) + gamma
+
+
+class SpatialConv(nn.Module):
+    """Spatial (GCN-style) graph convolution: linear transform then
+    aggregation over A + I (reference Spatial_conv, nn/conv.py:589-624),
+    expressed as a dense-operator matmul."""
+
+    features: int
+    precision: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, op: GraphOperator) -> jnp.ndarray:
+        from ..ops.cheb import resolve_precision
+
+        h = nn.Dense(self.features)(x)
+        # adjacency-with-self-loops aggregation: the stored operator is the
+        # negated normalized adjacency; |dense| recovers the neighbor mask
+        agg = jnp.abs(jnp.sign(op.dense))
+        agg = agg + jnp.eye(op.n, dtype=agg.dtype)
+        return jnp.einsum("nm,bmf->bnf", agg, h,
+                          precision=resolve_precision(self.precision))
+
+
+class GraphAttention(nn.Module):
+    """Single-head GAT layer over the static topology (reference
+    graph_attention, nn/conv.py:626-683): attention logits from
+    [Wh_i || Wh_j], softmax over the (masked) neighborhood incl. self."""
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, op: GraphOperator) -> jnp.ndarray:
+        h = nn.Dense(self.features, use_bias=False)(x)  # [B, N, F]
+        a_src = self.param("a_src", nn.initializers.glorot_uniform(),
+                           (self.features, 1))
+        a_dst = self.param("a_dst", nn.initializers.glorot_uniform(),
+                           (self.features, 1))
+        logits = (h @ a_src) + jnp.swapaxes(h @ a_dst, 1, 2)  # [B, N, N]
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        mask = (jnp.abs(op.dense) > 0) | jnp.eye(op.n, dtype=bool)
+        logits = jnp.where(mask[None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bnm,bmf->bnf", attn, h)
+
+
+def sort_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """SortPool (reference nn/pool.py:28-63): order vertices by the last
+    feature channel (descending), keep the top k, flatten to [B, k*F];
+    short graphs are zero-padded."""
+    b, n, f = x.shape
+    order = jnp.argsort(-x[:, :, -1], axis=1)
+    sorted_x = jnp.take_along_axis(x, order[:, :, None], axis=1)
+    if n >= k:
+        kept = sorted_x[:, :k]
+    else:
+        kept = jnp.pad(sorted_x, ((0, 0), (0, k - n), (0, 0)))
+    return kept.reshape(b, k * f)
+
+
+class DiffPool(nn.Module):
+    """Differentiable pooling (reference DIFFPool, nn/pool.py:66-105):
+    learned soft assignment S [N_in, N_out]; returns pooled features,
+    coarsened adjacency, and the link-prediction auxiliary loss."""
+
+    in_nodes: int
+    out_nodes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, adj: jnp.ndarray):
+        s = self.param("s", nn.initializers.glorot_uniform(),
+                       (self.in_nodes, self.out_nodes))
+        s = jax.nn.softmax(s, axis=-1)
+        pooled = jnp.einsum("nm,bnf->bmf", s, x)
+        coarse_adj = s.T @ adj @ s
+        link_loss = jnp.linalg.norm(adj - s @ s.T)
+        return pooled, coarse_adj, link_loss
