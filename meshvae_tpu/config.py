@@ -60,6 +60,7 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "matmul_precision": (str, ""),       # "" | default | highest
     "final_conv_adjacency": (str, "reference_quirk"),  # reference_quirk | finest
     "data_parallel": (int, 1),           # devices along the batch axis
+    "seq_parallel": (int, 1),            # devices along the vertex axis
     "hierarchy_cache_dir": (str, ""),
     "profile_dir": (str, ""),            # jax.profiler trace output ("" = off)
 }

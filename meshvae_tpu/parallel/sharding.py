@@ -42,3 +42,38 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     dp. Batch sizes must be divisible by the dp axis size."""
     sharding = batch_sharding(mesh)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_operators(ops, mesh: Mesh):
+    """Vertex-dimension ("sequence") sharding of the static graph operands.
+
+    The analog of sequence parallelism for meshes (SURVEY.md §2c SP row): the
+    scaling axis is vertex count N. Shard the dense operator's *row* blocks
+    over the "sp" axis — the propagation einsum L[n, m] @ x[b, m, f] then
+    computes each device's row shard locally and GSPMD inserts the
+    all-gather of the (much smaller) activations over ICI, the graph analog
+    of ring-attention neighbor exchange. ELL/pool gather operands shard
+    their output-row dimension the same way. Batch-dim arrays stay sharded
+    over "dp" elsewhere; operators are batch-replicated.
+    """
+    row_sharded = NamedSharding(mesh, P("sp", None))
+    row3 = NamedSharding(mesh, P("sp", None, None))
+    rep = replicated_sharding(mesh)
+
+    def place(path, leaf):
+        name = path[-1].name if path else ""
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        if name in ("dense", "ell_idx", "ell_w", "idx", "w") and leaf.ndim == 2:
+            # rows divisible by sp is not guaranteed -> GSPMD handles uneven
+            # shards only for equal blocks; replicate when it doesn't divide
+            if leaf.shape[0] % mesh.shape["sp"] == 0:
+                return jax.device_put(leaf, row_sharded)
+            return jax.device_put(leaf, rep)
+        if name == "blocks" and leaf.ndim == 3:
+            if leaf.shape[0] % mesh.shape["sp"] == 0:
+                return jax.device_put(leaf, row3)
+            return jax.device_put(leaf, rep)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(place, ops)

@@ -53,7 +53,8 @@ def build_model_and_ops(config: dict, dtype=jnp.float32):
 
 def make_trainer(config: dict, model, ops) -> Trainer:
     dp = int(config.get("data_parallel", 1))
-    mesh = make_device_mesh(dp=dp) if dp > 1 else None
+    sp = int(config.get("seq_parallel", 1))
+    mesh = make_device_mesh(dp=dp, sp=sp) if dp * sp > 1 else None
     return Trainer(model, ops, config, mesh=mesh)
 
 

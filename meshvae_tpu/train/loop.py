@@ -75,29 +75,26 @@ class Trainer:
         # ops ride as an explicit jit argument (not a closure constant):
         # keeps the big dense Laplacians out of the HLO constant pool, so XLA
         # neither constant-folds through them nor re-hashes them per trace.
-        donate = (0, 1)
+        # Under a device mesh, arrays are committed to their shardings before
+        # the call (batch over "dp", operators row-sharded over "sp", params
+        # replicated) and GSPMD partitions the step around them.
+        self._train_step_fn = jax.jit(self._train_step_impl,
+                                      donate_argnums=(0, 1))
+        self._eval_step_fn = jax.jit(self._eval_step_impl)
         if mesh is not None:
-            rep = replicated_sharding(mesh)
-            bsh = batch_sharding(mesh)
-            batch_shardings = {k: bsh for k in
-                               ("x", "label", "r", "s", "m", "original", "mask")}
-            self._train_step_fn = jax.jit(
-                self._train_step_impl,
-                donate_argnums=donate,
-                in_shardings=(rep, rep, batch_shardings, rep, rep, rep, rep),
-                out_shardings=(rep, rep, rep),
-            )
-            self._eval_step_fn = jax.jit(
-                self._eval_step_impl,
-                in_shardings=(rep, batch_shardings, rep, rep, rep),
-                out_shardings=rep,
-            )
-            self._ops_on_device = jax.device_put(ops, rep)
+            from ..parallel.sharding import shard_operators
+            self._ops_on_device = shard_operators(ops, mesh)
+            self._replicated = replicated_sharding(mesh)
         else:
-            self._train_step_fn = jax.jit(self._train_step_impl,
-                                          donate_argnums=donate)
-            self._eval_step_fn = jax.jit(self._eval_step_impl)
             self._ops_on_device = ops
+            self._replicated = None
+
+    def maybe_replicate(self, tree):
+        """Commit a pytree (params/opt state/norm stats) as replicated over
+        the mesh; no-op on single device or already-placed arrays."""
+        if self._replicated is None:
+            return tree
+        return jax.device_put(tree, self._replicated)
 
     def _train_step(self, params, opt_state, batch, rng, norm_mean, norm_std):
         return self._train_step_fn(params, opt_state, batch, rng, norm_mean,
@@ -207,8 +204,10 @@ class Trainer:
         totals = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0, "error": 0.0}
         correct = 0.0
         count = 0.0
-        norm_mean = jnp.asarray(norm_mean)
-        norm_std = jnp.asarray(norm_std)
+        params = self.maybe_replicate(params)
+        opt_state = self.maybe_replicate(opt_state)
+        norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
+        norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         for step, batch in enumerate(loader):
             step_rng = jax.random.fold_in(rng, step)
             params, opt_state, metrics = self._train_step(
@@ -233,8 +232,9 @@ class Trainer:
         errors = []
         meshes = {"recon": [], "oppo": [], "oppo_pred": [], "oppo_label": [],
                   "index": []}
-        norm_mean = jnp.asarray(norm_mean)
-        norm_std = jnp.asarray(norm_std)
+        params = self.maybe_replicate(params)
+        norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
+        norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         for batch in loader:
             out = self._eval_step(params, self._put(batch), norm_mean, norm_std)
             n = float(out["count"])
