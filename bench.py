@@ -30,7 +30,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_jax(hier, batch_size, steps, warmup, method, precision,
-                polygon_order=6):
+                polygon_order=6, scan=False):
     import jax
     import jax.numpy as jnp
     from meshvae_tpu.models.operators import build_operators
@@ -58,15 +58,16 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
 
     rng = np.random.default_rng(0)
     n0 = hier.levels[0]
-    batch = {
-        "x": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
-        "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.int32)),
-        "r": jnp.tile(jnp.eye(3, dtype=jnp.float32), (batch_size, 1, 1)),
-        "s": jnp.ones((batch_size,), jnp.float32),
-        "m": jnp.zeros((batch_size, 1, 3), jnp.float32),
-        "original": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
-        "mask": jnp.ones((batch_size,), jnp.float32),
+    host_batch = {
+        "x": rng.standard_normal((batch_size, n0, 3)).astype(np.float32),
+        "label": rng.integers(0, 2, batch_size).astype(np.int32),
+        "r": np.tile(np.eye(3, dtype=np.float32), (batch_size, 1, 1)),
+        "s": np.ones((batch_size,), np.float32),
+        "m": np.zeros((batch_size, 1, 3), np.float32),
+        "original": rng.standard_normal((batch_size, n0, 3)).astype(np.float32),
+        "mask": np.ones((batch_size,), np.float32),
     }
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
     mean = jnp.zeros((n0, 3), jnp.float32)
     std = jnp.ones((n0, 3), jnp.float32)
 
@@ -74,18 +75,33 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
     opt_state = trainer.init_opt_state(params)
     key = jax.random.key(1)
 
+    if scan:
+        # Whole measurement window in one device dispatch (epoch-scan path).
+        # NOTE: under the axon tunnel this measures the relay's ~50MB/s
+        # host->device bandwidth (the per-epoch data shipment), not the TPU;
+        # the per-step path below keeps data device-resident and is the
+        # headline kernel/training-step number.
+        loader = [dict(host_batch) for _ in range(steps)]
+        params, opt_state, _ = trainer.train_epoch_scanned(
+            params, opt_state, loader, key, mean, std)  # compile + first pull
+        t0 = time.perf_counter()
+        params, opt_state, avg = trainer.train_epoch_scanned(
+            params, opt_state, loader, key, mean, std)
+        dt = time.perf_counter() - t0
+        return batch_size * steps / dt, float(avg["loss"])
+
     for i in range(warmup):
         params, opt_state, metrics = trainer._train_step(
             params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(metrics)
 
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, metrics = trainer._train_step(
             params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, float(metrics["loss"])
+    return batch_size * steps / dt, float(np.asarray(metrics)[0])
 
 
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
@@ -118,6 +134,8 @@ def main():
     parser.add_argument("--skip-torch", action="store_true",
                         help="use cached torch baseline only")
     parser.add_argument("--refresh-torch", action="store_true")
+    parser.add_argument("--scan", action="store_true",
+                        help="measure the epoch-scan path (one dispatch)")
     parser.add_argument("--workload", default="default",
                         choices=["default", "scaled20k"],
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
@@ -138,7 +156,8 @@ def main():
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
                                        args.warmup, args.method,
                                        args.precision,
-                                       polygon_order=polygon_order)
+                                       polygon_order=polygon_order,
+                                       scan=args.scan)
 
     baseline = None
     try:

@@ -17,6 +17,12 @@ import os
 from typing import Any, Callable
 
 
+def _bool(value) -> bool:
+    if isinstance(value, bool):
+        return value
+    return str(value).strip().lower() in ("1", "true", "yes", "on")
+
+
 def _csv(cast: Callable):
     def parse(value: str):
         return [cast(x) for x in str(value).split(",")]
@@ -61,6 +67,7 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "final_conv_adjacency": (str, "reference_quirk"),  # reference_quirk | finest
     "data_parallel": (int, 1),           # devices along the batch axis
     "seq_parallel": (int, 1),            # devices along the vertex axis
+    "scan_epoch": (_bool, True),         # whole epoch in one device dispatch
     "hierarchy_cache_dir": (str, ""),
     "profile_dir": (str, ""),            # jax.profiler trace output ("" = off)
 }

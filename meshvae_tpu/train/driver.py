@@ -137,8 +137,11 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                                   config["learning_rates_epochs"])
                 opt_state = set_learning_rate(opt_state, lr)
 
+                train_fn = (trainer.train_epoch_scanned
+                            if config.get("scan_epoch", True)
+                            else trainer.train_epoch)
                 with maybe_profile(config.get("profile_dir"), epoch):
-                    params, opt_state, train_avg = trainer.train_epoch(
+                    params, opt_state, train_avg = train_fn(
                         params, opt_state, train_loader,
                         jax.random.fold_in(epoch_rng, epoch), mean, std)
                 valid_avg, errors = trainer.evaluate(params, valid_loader,

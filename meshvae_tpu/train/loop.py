@@ -30,6 +30,15 @@ from ..models.losses import vae_loss
 from ..parallel.sharding import batch_sharding, replicated_sharding
 
 
+# order of the packed per-step metrics vector returned by the train step
+METRIC_NAMES = ("loss", "kld", "rec_loss", "error", "correct", "count")
+
+
+def unpack_metrics(arr) -> dict:
+    arr = np.asarray(arr, dtype=np.float64).reshape(-1)
+    return dict(zip(METRIC_NAMES, arr))
+
+
 def lr_for_epoch(epoch: int, base_lr: float, learning_rates: list[float],
                  learning_rates_epochs: list[float]) -> float:
     """Reference step schedule: the *last* threshold the epoch exceeds wins
@@ -79,6 +88,8 @@ class Trainer:
         # the call (batch over "dp", operators row-sharded over "sp", params
         # replicated) and GSPMD partitions the step around them.
         self._train_step_fn = jax.jit(self._train_step_impl,
+                                      donate_argnums=(0, 1))
+        self._train_scan_fn = jax.jit(self._train_scan_impl,
                                       donate_argnums=(0, 1))
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         if mesh is not None:
@@ -145,14 +156,17 @@ class Trainer:
         mask = batch["mask"]
         denom = jnp.maximum(mask.sum(), 1.0)
         _, err = self._pose_error(out["recon"], batch, norm_mean, norm_std)
-        metrics = {
-            "loss": loss,
-            "kld": (aux["kld"] * mask).sum() / denom,
-            "rec_loss": (aux["rec_loss"] * mask).sum() / denom,
-            "correct": aux["correct"],
-            "error": (err.mean(axis=-1) * mask).sum() / denom,
-            "count": mask.sum(),
-        }
+        # metrics packed into ONE array: each device->host transfer costs a
+        # full host round-trip (~25ms through the TPU tunnel), so the step
+        # returns a single pullable vector instead of six scalars
+        metrics = jnp.stack([
+            loss,
+            (aux["kld"] * mask).sum() / denom,
+            (aux["rec_loss"] * mask).sum() / denom,
+            (err.mean(axis=-1) * mask).sum() / denom,
+            aux["correct"].astype(jnp.float32),
+            mask.sum(),
+        ])
         return params, opt_state, metrics
 
     def _eval_step_impl(self, params, batch, norm_mean, norm_std, ops):
@@ -175,21 +189,44 @@ class Trainer:
         sc_correct = ((oppo_pred == oppo_label) * mask).sum()
         oppo_orig, _ = self._pose_error(x_oppo, batch, norm_mean, norm_std)
 
+        scalars = jnp.stack([
+            loss,
+            (aux["kld"] * mask).sum() / denom,
+            (aux["rec_loss"] * mask).sum() / denom,
+            aux["correct"].astype(jnp.float32),
+            mask.sum(),
+            sc_correct,
+        ])
         return {
-            "loss": loss,
-            "kld": (aux["kld"] * mask).sum() / denom,
-            "rec_loss": (aux["rec_loss"] * mask).sum() / denom,
-            "correct": aux["correct"],
-            "count": mask.sum(),
+            "scalars": scalars,            # [6]: loss,kld,rec,correct,count,sc
             "errors": err,                 # [B, N] per-vertex original-pose error
             "recon_orig": recon_orig,      # [B, N, 3]
             "oppo_orig": oppo_orig,        # [B, N, 3]
             "oppo_pred": oppo_pred,        # [B]
             "oppo_label": oppo_label,      # [B]
-            "sc_correct": sc_correct,
             "y_hat": out["y_hat"],
             "z": out["z"],
         }
+
+    # ------------------------------------------------------------------
+    def _train_scan_impl(self, params, opt_state, batches, rng, norm_mean,
+                         norm_std, ops):
+        """A whole epoch (stacked batches [S, B, ...]) in one dispatch via
+        lax.scan — eliminates per-step host->device dispatch latency, which
+        dominates at small batch sizes."""
+        steps = batches["mask"].shape[0]
+
+        def body(carry, inp):
+            params, opt_state = carry
+            batch, step = inp
+            params, opt_state, metrics = self._train_step_impl(
+                params, opt_state, batch, jax.random.fold_in(rng, step),
+                norm_mean, norm_std, ops)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), (batches, jnp.arange(steps)))
+        return params, opt_state, metrics
 
     # ------------------------------------------------------------------
     def _put(self, batch: dict) -> dict:
@@ -210,17 +247,57 @@ class Trainer:
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         for step, batch in enumerate(loader):
             step_rng = jax.random.fold_in(rng, step)
-            params, opt_state, metrics = self._train_step(
+            params, opt_state, packed = self._train_step(
                 params, opt_state, self._put(batch), step_rng, norm_mean, norm_std
             )
-            n = float(metrics["count"])
+            metrics = unpack_metrics(packed)  # ONE device->host pull
+            n = metrics["count"]
             for k in totals:
-                totals[k] += float(metrics[k]) * n
-            correct += float(metrics["correct"])
+                totals[k] += metrics[k] * n
+            correct += metrics["correct"]
             count += n
         avg = {k: v / max(count, 1.0) for k, v in totals.items()}
         avg["accuracy"] = correct / max(count, 1.0)
         avg["count"] = count
+        return params, opt_state, avg
+
+    def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
+                            norm_std):
+        """train_epoch with the whole epoch in ONE device dispatch
+        (lax.scan over stacked batches). Identical math and metrics; one
+        recompile per distinct number-of-batches."""
+        keys = ("x", "label", "r", "s", "m", "original", "mask")
+        batch_list = list(loader)
+        if not batch_list:
+            return params, opt_state, {"loss": 0.0, "kld": 0.0,
+                                       "rec_loss": 0.0, "error": 0.0,
+                                       "accuracy": 0.0, "count": 0.0}
+        stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "dp"))
+            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        else:
+            stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+
+        params = self.maybe_replicate(params)
+        opt_state = self.maybe_replicate(opt_state)
+        norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
+        norm_std = self.maybe_replicate(jnp.asarray(norm_std))
+        params, opt_state, packed = self._train_scan_fn(
+            params, opt_state, stacked, rng, norm_mean, norm_std,
+            self._ops_on_device)
+
+        arr = np.asarray(packed, dtype=np.float64)  # [S, 6], ONE pull
+        metrics = {k: arr[:, i] for i, k in enumerate(METRIC_NAMES)}
+        counts = metrics["count"]
+        total = float(counts.sum())
+        avg = {
+            k: float((metrics[k] * counts).sum()) / max(total, 1.0)
+            for k in ("loss", "kld", "rec_loss", "error")
+        }
+        avg["accuracy"] = float(metrics["correct"].sum()) / max(total, 1.0)
+        avg["count"] = total
         return params, opt_state, avg
 
     def evaluate(self, params, loader, norm_mean, norm_std,
@@ -237,11 +314,12 @@ class Trainer:
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         for batch in loader:
             out = self._eval_step(params, self._put(batch), norm_mean, norm_std)
-            n = float(out["count"])
-            for k in totals:
-                totals[k] += float(out[k]) * n
-            correct += float(out["correct"])
-            sc_correct += float(out["sc_correct"])
+            sc = np.asarray(out["scalars"], dtype=np.float64)  # ONE pull
+            n = float(sc[4])
+            for i, k in enumerate(("loss", "kld", "rec_loss")):
+                totals[k] += float(sc[i]) * n
+            correct += float(sc[3])
+            sc_correct += float(sc[5])
             count += n
             keep = np.asarray(batch["mask"]) > 0
             errors.append(np.asarray(out["errors"])[keep])

@@ -65,7 +65,8 @@ def _one_step(model, ops, config, batch, mean, std, mesh):
     s = trainer.maybe_replicate(jnp.asarray(std))
     params, opt_state, metrics = trainer._train_step(
         params, opt_state, trainer._put(dict(batch)), jax.random.key(1), m, s)
-    return params, {k: float(v) for k, v in metrics.items()}
+    from meshvae_tpu.train.loop import unpack_metrics
+    return params, unpack_metrics(metrics)
 
 
 class TestDataParallel:

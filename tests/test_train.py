@@ -166,7 +166,7 @@ class TestEndToEnd:
             params, opt_state, metrics = trainer._train_step(
                 params, opt_state, trainer._put(batch),
                 jax.random.fold_in(jax.random.key(1), step), mean, std)
-            losses.append(float(metrics["loss"]))
+            losses.append(float(np.asarray(metrics)[0]))
         assert losses[-1] < losses[0] - 2.0, (losses[0], losses[-1])
 
 
