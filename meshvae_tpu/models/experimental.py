@@ -155,3 +155,24 @@ class DiffPool(nn.Module):
         coarse_adj = s.T @ adj @ s
         link_loss = jnp.linalg.norm(adj - s @ s.T)
         return pooled, coarse_adj, link_loss
+
+
+class PointCNN(nn.Module):
+    """Tiny 1D-conv point classifier (reference CNN, cheb_cls.py:118-135):
+    Conv1d over the vertex dim -> batch norm -> flatten -> 3 linear layers."""
+
+    vertices_out: int = 30
+    hidden: tuple = (10, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # x: [B, N, 3]; kernel_size-1 conv over vertices == per-channel mix
+        h = nn.Conv(features=3, kernel_size=(1,))(
+            jnp.swapaxes(x, 1, 2))                      # [B, 3, N] -> conv
+        h = nn.BatchNorm(use_running_average=not train,
+                         axis=-1)(h)
+        h = h.reshape(h.shape[0], -1)
+        h = nn.Dense(self.vertices_out * 3)(h)
+        h = jax.nn.relu(nn.Dense(self.hidden[0])(h))
+        h = jax.nn.relu(nn.Dense(self.hidden[1])(h))
+        return nn.Dense(1)(h)

@@ -74,16 +74,37 @@ def cheb_conv(
 
         return cheb_conv_pallas(x, op, weight, bias)
 
+    k = weight.shape[0]
+    prec = resolve_precision(precision)
+    dot = lambda t, w: jnp.einsum("bnf,fg->bng", t, w, precision=prec)
+
+    if method == "dense" and op.active_n < op.n and k > 1:
+        # Operator rows/cols beyond active_n are empty (the embedded
+        # final-conv quirk): those vertices sit at eigenvalue 0, where the
+        # Chebyshev recurrence degenerates to T_k(0) = (1, 0, -1, 0, ...),
+        # i.e. a single matmul with sum_k T_k(0) W_k — so run the full
+        # recurrence on the active corner only and one matmul on the rest.
+        sub = GraphOperator(
+            dense=op.dense[: op.active_n, : op.active_n],
+            ell_idx=op.ell_idx[: op.active_n],
+            ell_w=op.ell_w[: op.active_n],
+            bsr=op.bsr, n=op.active_n)
+        inner = cheb_conv(x[:, : op.active_n], sub, weight, bias,
+                          method="dense", precision=precision)
+        coeffs = [1.0 if i % 4 == 0 else (-1.0 if i % 4 == 2 else 0.0)
+                  for i in range(k)]
+        w_eff = sum(c * weight[i] for i, c in enumerate(coeffs) if c != 0.0)
+        rest = dot(x[:, op.active_n:], w_eff)
+        if bias is not None:
+            rest = rest + bias
+        return jnp.concatenate([inner, rest], axis=1)
+
     if method == "dense":
         prop = lambda t: propagate_dense(op, t, precision=precision)
     elif method == "ell":
         prop = lambda t: propagate_ell(op, t)
     else:
         raise ValueError(f"unknown cheb method: {method}")
-
-    k = weight.shape[0]
-    prec = resolve_precision(precision)
-    dot = lambda t, w: jnp.einsum("bnf,fg->bng", t, w, precision=prec)
 
     tx0 = x
     out = dot(tx0, weight[0])

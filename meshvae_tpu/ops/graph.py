@@ -61,6 +61,15 @@ class GraphOperator:
     ell_w: jnp.ndarray       # [N, max_deg] float32 weights (0 on padding)
     bsr: "BlockSparseOperator"
     n: int = dataclasses.field(metadata=dict(static=True))
+    # rows >= active_n have no nonzero entries (row or column): the dense
+    # path can run the recurrence on the [active_n, active_n] corner only.
+    # Equals n for ordinary operators; the embedded final-conv quirk
+    # operator has active_n = coarse vertex count.
+    active_n: int = dataclasses.field(default=-1, metadata=dict(static=True))
+
+    def __post_init__(self):
+        if self.active_n < 0:
+            object.__setattr__(self, "active_n", self.n)
 
     @property
     def max_degree(self) -> int:
@@ -119,6 +128,7 @@ def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32) -> Gr
         ell_w=jnp.asarray(w, dtype=dtype),
         bsr=to_block_sparse(full),
         n=n_full,
+        active_n=op_coarse.shape[0],
     )
 
 

@@ -144,8 +144,12 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                     params, opt_state, train_avg = train_fn(
                         params, opt_state, train_loader,
                         jax.random.fold_in(epoch_rng, epoch), mean, std)
-                valid_avg, errors = trainer.evaluate(params, valid_loader,
-                                                     mean, std)
+                if config.get("scan_epoch", True):
+                    valid_avg, errors = trainer.evaluate_scanned(
+                        params, valid_loader, mean, std)
+                else:
+                    valid_avg, errors = trainer.evaluate(params, valid_loader,
+                                                         mean, std)
                 mean_val_error = float(errors.mean()) if errors.size else 0.0
                 duration = time.time() - begin
 

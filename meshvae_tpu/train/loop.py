@@ -92,6 +92,7 @@ class Trainer:
         self._train_scan_fn = jax.jit(self._train_scan_impl,
                                       donate_argnums=(0, 1))
         self._eval_step_fn = jax.jit(self._eval_step_impl)
+        self._eval_scan_fn = jax.jit(self._eval_scan_impl)
         if mesh is not None:
             from ..parallel.sharding import shard_operators
             self._ops_on_device = shard_operators(ops, mesh)
@@ -299,6 +300,51 @@ class Trainer:
         avg["accuracy"] = float(metrics["correct"].sum()) / max(total, 1.0)
         avg["count"] = total
         return params, opt_state, avg
+
+    def _eval_scan_impl(self, params, batches, norm_mean, norm_std, ops):
+        def body(carry, batch):
+            out = self._eval_step_impl(params, batch, norm_mean, norm_std, ops)
+            return carry, {"scalars": out["scalars"], "errors": out["errors"]}
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    def evaluate_scanned(self, params, loader, norm_mean, norm_std):
+        """evaluate() without mesh collection, as one device dispatch +
+        two device->host pulls (scalars [S, 6], errors [S, B, N])."""
+        keys = ("x", "label", "r", "s", "m", "original", "mask")
+        batch_list = list(loader)
+        if not batch_list:
+            return ({"loss": 0.0, "kld": 0.0, "rec_loss": 0.0,
+                     "accuracy": 0.0, "sex_change_success_rate": 0.0,
+                     "count": 0.0}, np.zeros((0, 1)))
+        stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "dp"))
+            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        else:
+            stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+        params = self.maybe_replicate(params)
+        norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
+        norm_std = self.maybe_replicate(jnp.asarray(norm_std))
+        outs = self._eval_scan_fn(params, stacked, norm_mean, norm_std,
+                                  self._ops_on_device)
+        sc = np.asarray(outs["scalars"], dtype=np.float64)     # [S, 6]
+        err = np.asarray(outs["errors"])                       # [S, B, N]
+        counts = sc[:, 4]
+        total = float(counts.sum())
+        avg = {
+            "loss": float((sc[:, 0] * counts).sum()) / max(total, 1.0),
+            "kld": float((sc[:, 1] * counts).sum()) / max(total, 1.0),
+            "rec_loss": float((sc[:, 2] * counts).sum()) / max(total, 1.0),
+            "accuracy": float(sc[:, 3].sum()) / max(total, 1.0),
+            "sex_change_success_rate": float(sc[:, 5].sum()) / max(total, 1.0),
+            "count": total,
+        }
+        mask = np.stack([b["mask"] for b in batch_list]) > 0   # [S, B]
+        errors = err[mask]                                     # [valid, N]
+        return avg, errors
 
     def evaluate(self, params, loader, norm_mean, norm_std,
                  collect_meshes: bool = False):
