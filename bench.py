@@ -90,18 +90,23 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
         dt = time.perf_counter() - t0
         return batch_size * steps / dt, float(avg["loss"])
 
+    # NOTE: jax.block_until_ready does NOT await device completion on this
+    # experimental backend — a host value fetch is the only reliable sync.
+    # The fetch lives inside the timed window (one ~25ms relay round-trip,
+    # amortized over `steps`); every step chains through the donated
+    # params/opt_state, so fetching the last metrics forces the whole run.
     for i in range(warmup):
         params, opt_state, metrics = trainer._train_step(
             params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics)[0])
 
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, metrics = trainer._train_step(
             params, opt_state, dict(batch), jax.random.fold_in(key, i), mean, std)
-    jax.block_until_ready(metrics)
+    loss = float(np.asarray(metrics)[0])
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, float(np.asarray(metrics)[0])
+    return batch_size * steps / dt, loss
 
 
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):

@@ -22,6 +22,9 @@ from .block_sparse import BLOCK, BlockSparseOperator
 
 _COL_PANEL = 128
 
+# Set True to run the kernel in the Pallas interpreter (CPU tests / debug).
+INTERPRET = False
+
 
 def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
     b = pl.program_id(1)
@@ -70,6 +73,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        interpret=INTERPRET,
     )(bsr.block_row, bsr.block_col, bsr.first, bsr.blocks, x2d)
 
 

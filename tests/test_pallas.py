@@ -1,0 +1,118 @@
+"""Pallas block-sparse kernel tests (interpreter mode on CPU; the compiled
+kernel is exercised on real TPU by bench.py and was verified bit-equal to
+f32 round-off against the dense path)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+import meshvae_tpu.ops.pallas_cheb as pc
+from meshvae_tpu.mesh.connectivity import vertex_adjacency
+from meshvae_tpu.ops.block_sparse import (BLOCK, bsr_to_dense,
+                                          to_block_sparse)
+from meshvae_tpu.ops.cheb import cheb_conv
+from meshvae_tpu.ops.graph import cheb_operator, normalized_neg_adjacency
+
+from conftest import make_grid_mesh
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pc.INTERPRET = True
+    yield
+    pc.INTERPRET = False
+
+
+@pytest.fixture(scope="module")
+def big_graph():
+    # > BLOCK vertices so multiple 128-blocks exist
+    mesh = make_grid_mesh(14, jitter=0.05)  # 196 verts -> 2x2 block grid
+    adj = vertex_adjacency(mesh.num_vertices, mesh.f)
+    return mesh, adj
+
+
+class TestBlockSparse:
+    def test_roundtrip_dense(self, big_graph):
+        mesh, adj = big_graph
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        assert bsr.n == mesh.num_vertices
+        assert bsr.n_pad % BLOCK == 0
+        np.testing.assert_allclose(bsr_to_dense(bsr), lap.toarray(),
+                                   atol=1e-7)
+
+    def test_blocks_sorted_rows_marked(self, big_graph):
+        mesh, adj = big_graph
+        bsr = to_block_sparse(normalized_neg_adjacency(adj))
+        rows = np.asarray(bsr.block_row)
+        cols = np.asarray(bsr.block_col)
+        order = np.lexsort((cols, rows))
+        np.testing.assert_array_equal(order, np.arange(len(rows)))
+        first = np.asarray(bsr.first)
+        expected = np.ones_like(rows)
+        expected[1:] = (rows[1:] != rows[:-1]).astype(expected.dtype)
+        np.testing.assert_array_equal(first, expected)
+        # every block-row present (empty rows get explicit zero blocks)
+        assert set(rows.tolist()) == set(range(bsr.n_pad // BLOCK))
+
+    def test_empty_matrix(self):
+        bsr = to_block_sparse(sp.csr_matrix((200, 200)))
+        np.testing.assert_allclose(bsr_to_dense(bsr),
+                                   np.zeros((200, 200)), atol=0)
+
+
+class TestBsrMatmul:
+    def test_matches_scipy(self, big_graph):
+        mesh, adj = big_graph
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((bsr.n_pad, 128)).astype(np.float32)
+        y = np.asarray(pc.bsr_matmul(bsr, jnp.asarray(x)))
+        expected = np.zeros_like(x)
+        expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
+        np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
+
+    def test_vjp_uses_symmetry(self, big_graph):
+        mesh, adj = big_graph
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((bsr.n_pad, 128)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((bsr.n_pad, 128)).astype(np.float32))
+        _, vjp = jax.vjp(lambda t: pc.bsr_matmul(bsr, t), x)
+        (dx,) = vjp(g)
+        expected = np.zeros_like(np.asarray(g))
+        expected[: bsr.n] = (lap.T @ np.asarray(g)[: bsr.n]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(dx), expected, rtol=1e-5,
+                                   atol=1e-5)
+
+
+class TestChebConvPallas:
+    def test_matches_dense_path(self, big_graph):
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, op.n, 8)).astype(np.float32))
+        w = jnp.asarray((0.1 * rng.standard_normal((4, 8, 16))).astype(np.float32))
+        b = jnp.asarray((0.1 * rng.standard_normal(16)).astype(np.float32))
+        ref = cheb_conv(x, op, w, b, method="dense",
+                        precision=jax.lax.Precision.HIGHEST)
+        got = cheb_conv(x, op, w, b, method="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_odd_feature_width_pads(self, big_graph):
+        # F_in = 3 with batch 4 -> C = 12, padded up to the column panel
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((4, op.n, 3)).astype(np.float32))
+        w = jnp.asarray((0.1 * rng.standard_normal((3, 3, 8))).astype(np.float32))
+        ref = cheb_conv(x, op, w, None, method="dense",
+                        precision=jax.lax.Precision.HIGHEST)
+        got = cheb_conv(x, op, w, None, method="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
