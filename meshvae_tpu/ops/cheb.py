@@ -72,7 +72,7 @@ def cheb_conv(
     if method == "pallas":
         from .pallas_cheb import cheb_conv_pallas
 
-        return cheb_conv_pallas(x, op, weight, bias)
+        return cheb_conv_pallas(x, op, weight, bias, precision=precision)
 
     k = weight.shape[0]
     prec = resolve_precision(precision)

@@ -26,28 +26,42 @@ _COL_PANEL = 128
 INTERPRET = False
 
 
-def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
-    b = pl.program_id(1)
-    # HIGHEST keeps the MXU in true-f32 mode (default truncates to bf16,
-    # which breaks the <1e-4 parity budget)
-    contrib = jnp.dot(l_ref[0], x_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+def _make_spmm_kernel(precision):
+    def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
+        b = pl.program_id(1)
+        # HIGHEST keeps the MXU in true-f32 mode (default truncates to
+        # bf16, which breaks the <1e-4 parity budget); DEFAULT is the
+        # opt-in bf16 speed mode.
+        contrib = jnp.dot(l_ref[0], x_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
 
-    @pl.when(first_ref[b] == 1)
-    def _():
-        o_ref[:] = contrib
+        @pl.when(first_ref[b] == 1)
+        def _():
+            o_ref[:] = contrib
 
-    @pl.when(first_ref[b] == 0)
-    def _():
-        o_ref[:] = o_ref[:] + contrib
+        @pl.when(first_ref[b] == 0)
+        def _():
+            o_ref[:] = o_ref[:] + contrib
+
+    return _spmm_kernel
 
 
-def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
+def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
+                     precision=None) -> jnp.ndarray:
     """y = L @ x2d with x2d [n_pad, C], C a multiple of the column panel."""
+    from .cheb import resolve_precision
+
+    precision = resolve_precision(precision)
     n_pad, c = x2d.shape
     assert n_pad == bsr.n_pad, (n_pad, bsr.n_pad)
     assert c % _COL_PANEL == 0, c
-    panels = c // _COL_PANEL
+    # widest panel (<= 1024 lanes) dividing C: the L blocks are re-streamed
+    # once per panel, so wide panels cut operator traffic proportionally
+    panel = _COL_PANEL
+    while panel * 2 <= min(c, 1024) and c % (panel * 2) == 0:
+        panel *= 2
+    panels = c // panel
     nb = bsr.num_blocks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -56,18 +70,18 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
         in_specs=[
             pl.BlockSpec((1, BLOCK, BLOCK), lambda j, b, br, bc, fr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, _COL_PANEL),
+            pl.BlockSpec((BLOCK, panel),
                          lambda j, b, br, bc, fr: (bc[b], j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK, _COL_PANEL),
+        out_specs=pl.BlockSpec((BLOCK, panel),
                                lambda j, b, br, bc, fr: (br[b], j),
                                memory_space=pltpu.VMEM),
     )
     flops = 2 * nb * BLOCK * BLOCK * c
     bytes_accessed = nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4
     return pl.pallas_call(
-        _spmm_kernel,
+        _make_spmm_kernel(precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops,
@@ -77,18 +91,19 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
     )(bsr.block_row, bsr.block_col, bsr.first, bsr.blocks, x2d)
 
 
-def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray) -> jnp.ndarray:
+def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray,
+               precision=None) -> jnp.ndarray:
     """Differentiable y = L @ x (L symmetric: the VJP reuses the kernel)."""
 
     @jax.custom_vjp
     def mm(x):
-        return _bsr_matmul_impl(bsr, x)
+        return _bsr_matmul_impl(bsr, x, precision)
 
     def fwd(x):
-        return _bsr_matmul_impl(bsr, x), None
+        return _bsr_matmul_impl(bsr, x, precision), None
 
     def bwd(_, g):
-        return (_bsr_matmul_impl(bsr, g),)
+        return (_bsr_matmul_impl(bsr, g, precision),)
 
     mm.defvjp(fwd, bwd)
     return mm(x2d)
@@ -103,7 +118,8 @@ def _pad_amounts(n: int, b: int, f: int):
 
 
 def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
-                     bias: jnp.ndarray | None) -> jnp.ndarray:
+                     bias: jnp.ndarray | None,
+                     precision=None) -> jnp.ndarray:
     """Chebyshev conv with Pallas block-sparse propagation.
 
     x: [B, N, F_in] -> [B, N, F_out]. The recurrence runs in a padded
@@ -120,11 +136,14 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     w = jnp.pad(weight.astype(jnp.float32),
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
 
-    prop = lambda t: bsr_matmul(bsr, t.reshape(n_pad, b * f_pad)).reshape(
-        n_pad, b, f_pad)
+    from .cheb import resolve_precision
+
+    prec = resolve_precision(precision)
+    prop = lambda t: bsr_matmul(bsr, t.reshape(n_pad, b * f_pad),
+                                precision=prec).reshape(n_pad, b, f_pad)
     mix = lambda t, wk: jax.lax.dot_general(
         t, wk, (((2,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32)  # [N, B, F_out]
 
     tx0 = xt
