@@ -15,6 +15,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (one process per host of a TPU slice /
+    multi-slice deployment). After this, jax.devices() spans all hosts and
+    make_device_mesh lays dp/sp over the global device set — intra-slice
+    collectives ride ICI, inter-slice DCN, chosen by XLA from the mesh
+    layout. On Cloud TPU the arguments are auto-detected from the
+    environment; pass them explicitly elsewhere."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_device_mesh(dp: int | None = None, sp: int = 1,
                      devices=None) -> Mesh:
     """Mesh with axes ("dp", "sp"). dp defaults to all devices / sp."""
