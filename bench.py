@@ -109,6 +109,56 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
     return batch_size * steps / dt, loss
 
 
+def measure_inference(hier, batch_size, steps, method, precision,
+                      polygon_order=6):
+    """BASELINE config 4: the inference.py batch pipeline — classify,
+    reconstruct with the predicted label, sex-swap counterfactual, per-mesh
+    mean/max original-pose errors — per jitted step at `batch_size`."""
+    import jax
+    import jax.numpy as jnp
+    from meshvae_tpu.infer.driver import InferenceEngine
+    from meshvae_tpu.models.operators import build_operators
+    from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+
+    config = {
+        "num_conv_filters": [16, 16, 16, 32, 32],
+        "polygon_order": [polygon_order] * 5,
+        "n_layers": 4, "num_hidden": 512, "num_style": 16, "num_classes": 2,
+        "dropout": 0.2, "cheb_method": method, "pool_method": "gather",
+        "matmul_precision": precision,
+    }
+    ops = build_operators(hier)
+    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
+    model = MeshVAE(cfg)
+    engine = InferenceEngine(model, ops)
+
+    rng = np.random.default_rng(0)
+    n0 = hier.levels[0]
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
+        "r": jnp.tile(jnp.eye(3, dtype=jnp.float32), (batch_size, 1, 1)),
+        "s": jnp.ones((batch_size,), jnp.float32),
+        "m": jnp.zeros((batch_size, 1, 3), jnp.float32),
+        "original": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
+        "mask": jnp.ones((batch_size,), jnp.float32),
+    }
+    mean = jnp.zeros((n0, 3), jnp.float32)
+    std = jnp.ones((n0, 3), jnp.float32)
+    x0 = jnp.zeros((1, n0, 3), jnp.float32)
+    y0 = jnp.zeros((1, 2), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x0, y0, ops,
+                        train=False)
+
+    out = engine.step(params, batch, mean, std)
+    float(np.asarray(out["err_mean"])[0])  # warm + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = engine.step(params, batch, mean, std)
+    val = float(np.asarray(out["err_mean"])[0])  # forced completion
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, val
+
+
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
     key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
     cache = {}
@@ -141,6 +191,10 @@ def main():
     parser.add_argument("--refresh-torch", action="store_true")
     parser.add_argument("--scan", action="store_true",
                         help="measure the epoch-scan path (one dispatch)")
+    parser.add_argument("--mode", default="train",
+                        choices=["train", "inference"],
+                        help="inference: the batch reconstruction pipeline "
+                             "(BASELINE config 4; typically --batch-size 128)")
     parser.add_argument("--workload", default="default",
                         choices=["default", "scaled20k"],
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
@@ -157,6 +211,21 @@ def main():
         template = subdivide_midpoint(template)
         polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
+
+    if args.mode == "inference":
+        meshes_per_sec, _ = measure_inference(hier, args.batch_size,
+                                              args.steps, args.method,
+                                              args.precision,
+                                              polygon_order=polygon_order)
+        print(json.dumps({
+            "metric": "inference_throughput_%s_bs%d" % (
+                "5k" if args.workload == "default" else "20k",
+                args.batch_size),
+            "value": round(meshes_per_sec, 2),
+            "unit": "meshes/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
                                        args.warmup, args.method,
