@@ -74,6 +74,11 @@ def cheb_conv(
 
         return cheb_conv_pallas(x, op, weight, bias, precision=precision)
 
+    if method == "pallas_fused":
+        from .pallas_fused import cheb_conv_fused
+
+        return cheb_conv_fused(x, op, weight, bias, precision=precision)
+
     k = weight.shape[0]
     prec = resolve_precision(precision)
     dot = lambda t, w: jnp.einsum("bnf,fg->bng", t, w, precision=prec)

@@ -116,3 +116,44 @@ class TestChebConvPallas:
         got = cheb_conv(x, op, w, None, method="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestChebConvFused:
+    def test_matches_dense_forward(self, big_graph):
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(4)
+        for b, f_in, f_out, K in ((4, 8, 16, 4), (4, 16, 32, 6), (8, 16, 3, 5)):
+            x = jnp.asarray(rng.standard_normal((b, op.n, f_in)).astype(np.float32))
+            w = jnp.asarray((0.1 * rng.standard_normal((K, f_in, f_out))).astype(np.float32))
+            bias = jnp.asarray((0.1 * rng.standard_normal(f_out)).astype(np.float32))
+            ref = cheb_conv(x, op, w, bias, method="dense",
+                            precision=jax.lax.Precision.HIGHEST)
+            got = cheb_conv(x, op, w, bias, method="pallas_fused")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"b={b} f={f_in}->{f_out} K={K}")
+
+    def test_gradients_match_dense(self, big_graph):
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(5)
+        b, f_in, f_out, K = 4, 8, 16, 5
+        x = jnp.asarray(rng.standard_normal((b, op.n, f_in)).astype(np.float32))
+        w = jnp.asarray((0.1 * rng.standard_normal((K, f_in, f_out))).astype(np.float32))
+        bias = jnp.asarray((0.1 * rng.standard_normal(f_out)).astype(np.float32))
+        tgt = jnp.asarray(rng.standard_normal((b, op.n, f_out)).astype(np.float32))
+
+        def loss(method):
+            prec = jax.lax.Precision.HIGHEST if method == "dense" else None
+            def f(x_, w_, b_):
+                o = cheb_conv(x_, op, w_, b_, method=method, precision=prec)
+                return jnp.sum((o - tgt) ** 2)
+            return f
+
+        gd = jax.grad(loss("dense"), argnums=(0, 1, 2))(x, w, bias)
+        gf = jax.grad(loss("pallas_fused"), argnums=(0, 1, 2))(x, w, bias)
+        for a, c, name in zip(gd, gf, ("dx", "dw", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4,
+                err_msg=name)
