@@ -159,6 +159,32 @@ def measure_inference(hier, batch_size, steps, method, precision,
     return batch_size * steps / dt, val
 
 
+def try_pallas_subprocess(args, polygon_order):
+    """Run the pallas-path bench in a time-boxed subprocess (its remote
+    kernel compile can take ~10 minutes; a timeout must not lose the dense
+    number). Returns meshes/sec or None."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--method", "pallas", "--skip-torch",
+           "--batch-size", str(args.batch_size),
+           "--steps", str(args.steps), "--warmup", str(args.warmup),
+           "--precision", args.precision, "--workload", args.workload]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=args.pallas_timeout)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return float(json.loads(line)["value"])
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue
+    except subprocess.TimeoutExpired:
+        print("pallas bench timed out; reporting dense", file=sys.stderr)
+    except Exception as exc:
+        print(f"pallas bench failed: {exc}", file=sys.stderr)
+    return None
+
+
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
     key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
     cache = {}
@@ -184,7 +210,14 @@ def main():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--method", default="dense")
+    parser.add_argument("--method", default="auto",
+                        help="dense | ell | pallas | pallas_fused | auto "
+                             "(auto = dense now, then try the pallas kernel "
+                             "in a time-boxed subprocess and report the "
+                             "better result; pallas compiles take ~10min "
+                             "on this remote-compile setup)")
+    parser.add_argument("--pallas-timeout", type=int, default=1500,
+                        help="seconds allowed for the auto-mode pallas try")
     parser.add_argument("--precision", default="highest")
     parser.add_argument("--skip-torch", action="store_true",
                         help="use cached torch baseline only")
@@ -227,11 +260,21 @@ def main():
         }))
         return
 
+    method = args.method
+    pallas_result = None
+    if method == "auto":
+        method = "dense"
+        pallas_result = try_pallas_subprocess(args, polygon_order)
+
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
-                                       args.warmup, args.method,
+                                       args.warmup, method,
                                        args.precision,
                                        polygon_order=polygon_order,
                                        scan=args.scan)
+    best_method = method
+    if pallas_result is not None and pallas_result > meshes_per_sec:
+        meshes_per_sec = pallas_result
+        best_method = "pallas"
 
     baseline = None
     try:

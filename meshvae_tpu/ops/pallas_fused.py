@@ -130,11 +130,15 @@ def _fused_step(bsr: BlockSparseOperator, t_prev: jnp.ndarray,
     return t_k, acc_out
 
 
-def _pad_out(b: int, f_out: int) -> int:
-    f = f_out
-    while (b * f) % pallas_cheb._COL_PANEL != 0:
-        f += 1
-    return f
+def _pad_feature(b: int, f: int) -> int:
+    """Smallest power-of-two f_pad >= f with (b * f_pad) % COL_PANEL == 0 —
+    power-of-two so whole batch chunks tile a column panel exactly."""
+    f_pad = 1
+    while f_pad < f:
+        f_pad *= 2
+    while (b * f_pad) % pallas_cheb._COL_PANEL != 0:
+        f_pad *= 2
+    return f_pad
 
 
 def cheb_conv_fused(x: jnp.ndarray, op, weight: jnp.ndarray,
@@ -149,8 +153,9 @@ def cheb_conv_fused(x: jnp.ndarray, op, weight: jnp.ndarray,
     b, n, f_in = x.shape
     k = weight.shape[0]
     f_out = weight.shape[2]
-    n_pad, f_pad = pallas_cheb._pad_amounts(n, b, f_in)
-    f_out_pad = _pad_out(b, f_out)
+    n_pad = -(-n // BLOCK) * BLOCK
+    f_pad = _pad_feature(b, f_in)
+    f_out_pad = _pad_feature(b, f_out)
     prec = resolve_precision(precision)
 
     xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)
