@@ -187,3 +187,27 @@ class TestChebGCN:
         params = model.init(jax.random.key(0), x, ops)
         # chain (6, 8, 8, 16): convs output filters[-2] == 8; flat = 16 verts * 8
         assert params["params"]["enc_lin"]["kernel"].shape[0] == hier.levels[-1] * 8
+
+
+class TestPallasModelPath:
+    def test_vae_forward_with_pallas_method(self, small_setup):
+        """The full MeshVAE wiring through cheb_method='pallas' (interpreter
+        mode on CPU) matches the dense-path forward."""
+        import meshvae_tpu.ops.pallas_cheb as pc
+        from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+
+        model, params, ops, x, y, hier = small_setup
+        cfg_p = VAEConfig(**{**model.cfg.__dict__, "cheb_method": "pallas"})
+        model_p = MeshVAE(cfg_p)
+        pc.INTERPRET = True
+        try:
+            out_p = model_p.apply(params, x, y, ops, train=False)
+        finally:
+            pc.INTERPRET = False
+        out_d = model.apply(params, x, y, ops, train=False)
+        np.testing.assert_allclose(np.asarray(out_p["recon"]),
+                                   np.asarray(out_d["recon"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_p["mu"]),
+                                   np.asarray(out_d["mu"]),
+                                   rtol=1e-4, atol=1e-4)
