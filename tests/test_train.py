@@ -214,3 +214,51 @@ class TestResume:
         with open(os.path.join(ckpt_dir, "history2.json")) as fp:
             hist2 = json.load(fp)
         assert [h["epoch"] for h in hist2] == [1, 2, 3, 4]
+
+
+class TestScanPaths:
+    def test_evaluate_scanned_matches_unscanned(self, tiny_env):
+        config, template, root = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, _ = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:10], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        loader = BatchIterator(ds, batch_size=4)  # 3 batches, last padded
+        params = trainer.init_params(jax.random.key(0))
+
+        avg_a, err_a = trainer.evaluate(params, loader, ds.mean, ds.std)
+        avg_b, err_b = trainer.evaluate_scanned(params, loader, ds.mean,
+                                                ds.std)
+        for k in ("loss", "kld", "rec_loss", "accuracy",
+                  "sex_change_success_rate", "count"):
+            assert avg_b[k] == pytest.approx(avg_a[k], rel=1e-5), k
+        np.testing.assert_allclose(err_b, err_a, rtol=1e-5, atol=1e-6)
+
+    def test_train_epoch_scanned_matches_loop(self, tiny_env):
+        """Same rng, same batches: the scanned epoch equals the python-loop
+        epoch (identical math, one dispatch)."""
+        config, template, root = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, _ = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:8], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        loader = BatchIterator(ds, batch_size=4)
+        rng = jax.random.key(7)
+
+        p0 = trainer.init_params(jax.random.key(0))
+        o0 = trainer.init_opt_state(p0)
+        p_loop, _, avg_loop = trainer.train_epoch(p0, o0, loader, rng,
+                                                  ds.mean, ds.std)
+        p1 = trainer.init_params(jax.random.key(0))
+        o1 = trainer.init_opt_state(p1)
+        p_scan, _, avg_scan = trainer.train_epoch_scanned(p1, o1, loader, rng,
+                                                          ds.mean, ds.std)
+        assert avg_scan["loss"] == pytest.approx(avg_loop["loss"], rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_loop),
+                        jax.tree_util.tree_leaves(p_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
