@@ -29,7 +29,13 @@ def list_meshes(config: dict, sex_from_filename: bool = True):
     """Returns (dataset_index: list[str], labels: dict[str, int])."""
     labels: dict[str, int] = {}
     dataset_index: list[str] = []
-    files = sorted(os.listdir(config["root_dir"]))
+    root_dir = config.get("root_dir", "")
+    if not root_dir or not os.path.isdir(root_dir):
+        raise FileNotFoundError(
+            f"root_dir {root_dir!r} is not a directory — set it in the "
+            "config (or -p root_dir PATH) to a folder of .obj meshes; see "
+            "meshvae_tpu/data/synthetic.py to generate a synthetic dataset")
+    files = sorted(os.listdir(root_dir))
 
     to_remove: set[str] = set()
     error_file = config.get("error_file", "")
