@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 TEMPLATE = os.environ.get(
-    "MESHVAE_TEMPLATE", "/root/reference/template/template5k.obj")
+    "MESHVAE_TEMPLATE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "template", "template5k.obj"))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_torch_baseline.json")
 

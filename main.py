@@ -21,7 +21,12 @@ def main():
     args = parser.parse_args()
 
     if args.cpu:
+        # The env var alone is ignored on this image (the axon sitecustomize
+        # merges platforms); the config update is what actually forces CPU —
+        # same as inference.py / crecon.py.
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from meshvae_tpu.config import apply_overrides, read_config
     from meshvae_tpu.train.driver import run

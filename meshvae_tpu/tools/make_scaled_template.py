@@ -7,8 +7,7 @@ from ..mesh.subdivide import subdivide_midpoint
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else \
-        "/root/reference/template/template5k.obj"
+    src = sys.argv[1] if len(sys.argv) > 1 else "./template/template5k.obj"
     dst = sys.argv[2] if len(sys.argv) > 2 else "./template/template20k.obj"
     mesh = subdivide_midpoint(load_obj(src))
     import os

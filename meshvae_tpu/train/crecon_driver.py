@@ -59,10 +59,13 @@ class CreconTrainer:
         self.gcn = gcn
         self.vae = vae
         self.ops = ops
+        self.scan_epoch = bool(config.get("scan_epoch", True))
         self.optimizer = make_optimizer(float(config["learning_rate"]),
                                         float(config["weight_decay"]))
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0, 1))
+        self._eval_scan = jax.jit(self._eval_scan_impl)
 
     def init_params(self, rng_key):
         n0 = self.ops.num_nodes[0]
@@ -75,6 +78,10 @@ class CreconTrainer:
         loss = jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1.0)
         return loss, logits
 
+    # Steps return metrics packed into ONE array [loss, correct, count]: each
+    # device->host transfer is a full relay round-trip (~25ms), so the host
+    # pulls a single vector per step — the same treatment as the VAE loop
+    # (loop.py METRIC_NAMES), which this driver originally skipped.
     def _train_step_impl(self, params, opt_state, vae_params, batch, ops):
         diff, _, _ = estimate_diff(self.vae, vae_params, batch["x"],
                                    batch["label"], ops, train=True)
@@ -84,8 +91,7 @@ class CreconTrainer:
         params = optax.apply_updates(params, updates)
         pred = jnp.argmax(jax.nn.softmax(logits), axis=-1)
         correct = jnp.sum((pred == batch["label"]) * batch["mask"])
-        return params, opt_state, {"loss": loss, "correct": correct,
-                                   "count": batch["mask"].sum()}
+        return params, opt_state, jnp.stack([loss, correct, batch["mask"].sum()])
 
     def _eval_step_impl(self, params, vae_params, batch, ops):
         diff, _, _ = estimate_diff(self.vae, vae_params, batch["x"],
@@ -94,29 +100,66 @@ class CreconTrainer:
                                   ops)
         pred = jnp.argmax(jax.nn.softmax(logits), axis=-1)
         correct = jnp.sum((pred == batch["label"]) * batch["mask"])
-        return {"loss": loss, "correct": correct, "count": batch["mask"].sum(),
-                "pred": pred}
+        return jnp.stack([loss, correct, batch["mask"].sum()])
+
+    def _train_scan_impl(self, params, opt_state, vae_params, batches, ops):
+        """Whole epoch (stacked batches [S, B, ...]) in one device dispatch."""
+        def body(carry, batch):
+            params, opt_state = carry
+            params, opt_state, m = self._train_step_impl(
+                params, opt_state, vae_params, batch, ops)
+            return (params, opt_state), m
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), batches)
+        return params, opt_state, metrics  # [S, 3]
+
+    def _eval_scan_impl(self, params, vae_params, batches, ops):
+        def body(carry, batch):
+            return carry, self._eval_step_impl(params, vae_params, batch, ops)
+
+        _, metrics = jax.lax.scan(body, None, batches)
+        return metrics  # [S, 3]
+
+    @staticmethod
+    def _averages(per_step: np.ndarray):
+        """per_step: [S, 3] of (batch_loss, correct, count). The reference
+        reports sum-of-batch-losses / num_batches (crecon.py:100,150)."""
+        steps = per_step.shape[0]
+        avg_loss = float(per_step[:, 0].sum()) / max(steps, 1)
+        count = float(per_step[:, 2].sum())
+        acc = float(per_step[:, 1].sum()) / max(count, 1.0)
+        return avg_loss, acc
 
     def run_epoch(self, params, opt_state, vae_params, loader, train: bool):
-        total_loss = correct = count = 0.0
-        batches = 0
-        errs: dict[str, str] = {}
+        keys = ("x", "label", "mask")
+        if self.scan_epoch:
+            batch_list = list(loader)
+            if not batch_list:
+                return params, opt_state, 0.0, 0.0
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in batch_list]))
+                       for k in keys}
+            if train:
+                params, opt_state, m = self._train_scan(
+                    params, opt_state, vae_params, stacked, self.ops)
+            else:
+                m = self._eval_scan(params, vae_params, stacked, self.ops)
+            avg_loss, acc = self._averages(np.asarray(m, np.float64))  # 1 pull
+            return params, opt_state, avg_loss, acc
+
+        rows = []
         for batch in loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+            jb = {k: jnp.asarray(batch[k]) for k in keys}
             if train:
                 params, opt_state, m = self._train_step(params, opt_state,
                                                         vae_params, jb,
                                                         self.ops)
             else:
                 m = self._eval_step(params, vae_params, jb, self.ops)
-            total_loss += float(m["loss"])
-            correct += float(m["correct"])
-            count += float(m["count"])
-            batches += 1
-        # the reference reports sum-of-batch-losses / num_batches
-        # (crecon.py:100,150 with len(loader) as denominator)
-        avg_loss = total_loss / max(batches, 1)
-        acc = correct / max(count, 1.0)
+            rows.append(np.asarray(m, np.float64))  # one pull per step
+        if not rows:
+            return params, opt_state, 0.0, 0.0
+        avg_loss, acc = self._averages(np.stack(rows))
         return params, opt_state, avg_loss, acc
 
 

@@ -47,7 +47,11 @@ def grid_mesh():
     return make_grid_mesh(8, jitter=0.05)
 
 
+TEMPLATE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "template", "template5k.obj")
+
+
 @pytest.fixture(scope="session")
 def template_mesh():
     from meshvae_tpu.mesh.io import load_obj
-    return load_obj("/root/reference/template/template5k.obj")
+    return load_obj(TEMPLATE_PATH)
