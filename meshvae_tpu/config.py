@@ -65,6 +65,7 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "compute_dtype": (str, "float32"),   # float32 | bfloat16
     "matmul_precision": (str, ""),       # "" | default | highest
     "final_conv_adjacency": (str, "reference_quirk"),  # reference_quirk | finest
+    "hierarchy_mode": (str, "fast"),     # fast | reference (bit-exact QSlim)
     "data_parallel": (int, 1),           # devices along the batch axis
     "seq_parallel": (int, 1),            # devices along the vertex axis
     "scan_epoch": (_bool, True),         # whole epoch in one device dispatch
@@ -142,7 +143,7 @@ def write_default_config(fname: str) -> None:
         ],
         "TPU Parameters": [
             "cheb_method", "pool_method", "compute_dtype", "matmul_precision",
-            "final_conv_adjacency", "data_parallel",
+            "final_conv_adjacency", "hierarchy_mode", "data_parallel",
         ],
     }
     for section, keys in sections.items():

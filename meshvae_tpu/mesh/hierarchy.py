@@ -50,7 +50,12 @@ class MeshHierarchy:
         return len(self.vertices)
 
 
-def build_hierarchy(mesh: TriMesh, factors: list[int]) -> MeshHierarchy:
+def build_hierarchy(mesh: TriMesh, factors: list[int],
+                    mode: str = "fast") -> MeshHierarchy:
+    """mode: "fast" (default) or "reference" — the latter reproduces the
+    reference's QSlim collapse order bit-for-bit (qslim.qslim_decimate_exact),
+    which is required when loading checkpoints trained by the reference
+    implementation (their weights are only meaningful on its exact D/U/A)."""
     vertices = [np.asarray(mesh.v, dtype=np.float64)]
     faces = [np.asarray(mesh.f, dtype=np.int64)]
     adjacency = [vertex_adjacency(mesh.num_vertices, mesh.f)]
@@ -58,23 +63,29 @@ def build_hierarchy(mesh: TriMesh, factors: list[int]) -> MeshHierarchy:
     upsample: list[sp.csr_matrix] = []
 
     for factor in factors:
-        new_f, d = decimate_by_factor(vertices[-1], faces[-1], float(factor))
+        new_f, d = decimate_by_factor(vertices[-1], faces[-1], float(factor),
+                                      mode=mode)
         new_v = d @ vertices[-1]
         downsample.append(d.tocsr())
         vertices.append(new_v)
         faces.append(new_f)
         adjacency.append(vertex_adjacency(new_v.shape[0], new_f))
         # U maps the new (coarse) level back up to the previous (fine) level
-        upsample.append(barycentric_transfer(new_v, new_f, vertices[-2]))
+        upsample.append(barycentric_transfer(
+            new_v, new_f, vertices[-2],
+            use_native="never" if mode == "reference" else "auto",
+            mode="reference" if mode == "reference" else "barycentric"))
 
     return MeshHierarchy(vertices, faces, adjacency, downsample, upsample)
 
 
-def _cache_key(mesh: TriMesh, factors: list[int]) -> str:
+def _cache_key(mesh: TriMesh, factors: list[int], mode: str = "fast") -> str:
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(mesh.v).tobytes())
     h.update(np.ascontiguousarray(mesh.f).tobytes())
     h.update(json.dumps([float(f) for f in factors]).encode())
+    if mode != "fast":  # keep round-1 cache entries valid
+        h.update(mode.encode())
     return h.hexdigest()[:16]
 
 
@@ -116,18 +127,21 @@ def _load(path: str) -> MeshHierarchy:
 
 
 def load_or_build_hierarchy(
-    mesh: TriMesh, factors: list[int], cache_dir: str | None = None
+    mesh: TriMesh, factors: list[int], cache_dir: str | None = None,
+    mode: str = "fast",
 ) -> MeshHierarchy:
-    """Build the hierarchy, memoized on disk keyed by (template hash, factors)."""
+    """Build the hierarchy, memoized on disk keyed by (template hash,
+    factors, mode)."""
     if cache_dir is None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "meshvae_tpu")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"hierarchy_{_cache_key(mesh, factors)}.npz")
+    path = os.path.join(
+        cache_dir, f"hierarchy_{_cache_key(mesh, factors, mode)}.npz")
     if os.path.exists(path):
         try:
             return _load(path)
         except Exception:
             pass  # fall through and rebuild a corrupt cache entry
-    hier = build_hierarchy(mesh, factors)
+    hier = build_hierarchy(mesh, factors, mode=mode)
     _save(path, hier)
     return hier

@@ -39,7 +39,8 @@ def build_model_and_ops(config: dict, dtype=jnp.float32):
     template = load_obj(config["template"])
     cache_dir = config.get("hierarchy_cache_dir") or None
     hier = load_or_build_hierarchy(template, config["downsampling_factors"],
-                                   cache_dir=cache_dir)
+                                   cache_dir=cache_dir,
+                                   mode=config.get("hierarchy_mode", "fast"))
     ops = build_operators(
         hier, dtype=dtype,
         final_conv_adjacency=config.get("final_conv_adjacency",

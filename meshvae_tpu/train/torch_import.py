@@ -100,6 +100,13 @@ def main():
         if isinstance(payload, dict) else payload
 
     config = read_config(args.conf)
+    # A reference-trained checkpoint is only meaningful on the reference's
+    # exact mesh hierarchy: force the bit-exact QSlim collapse order unless
+    # the config explicitly says otherwise.
+    if "hierarchy_mode" not in open(args.conf).read():
+        config["hierarchy_mode"] = "reference"
+        print("hierarchy_mode=reference (bit-exact reference QSlim; set "
+              "hierarchy_mode in the config to override)")
     if args.type == "cheb_VAE":
         model, ops, hier, template = build_model_and_ops(config)
         from .loop import Trainer
