@@ -18,6 +18,7 @@ from meshvae_tpu.models.losses import vae_loss
 from benchmarks.torch_cpu_baseline import TorchChebVAE
 
 from conftest import make_grid_mesh
+from parity_utils import copy_torch_weights, torch_eval_forward
 
 
 @pytest.fixture(scope="module")
@@ -41,64 +42,17 @@ def paired_models():
     rng = np.random.default_rng(0)
     x0 = jnp.zeros((1, hier.levels[0], 3), jnp.float32)
     y0 = jnp.zeros((1, 2), jnp.float32)
-    params = jmodel.init({"params": jax.random.key(0)}, x0, y0, ops,
-                         train=False)
+    params = copy_torch_weights(
+        tmodel,
+        jmodel.init({"params": jax.random.key(0)}, x0, y0, ops, train=False))
 
-    # copy the torch weights into the flax param tree
-    p = {k: dict(v) for k, v in params["params"].items()}
-
-    def t2n(t):
-        return np.asarray(t.detach().numpy(), dtype=np.float32)
-
-    for i in range(len(tmodel.enc_w)):
-        p[f"cheb_enc_{i}"]["weight"] = jnp.asarray(t2n(tmodel.enc_w[i]))
-        p[f"cheb_enc_{i}"]["bias"] = jnp.asarray(t2n(tmodel.enc_b[i]))
-    for i in range(len(tmodel.dec_w)):
-        p[f"cheb_dec_{i}"]["weight"] = jnp.asarray(t2n(tmodel.dec_w[i]))
-        if "bias" in p[f"cheb_dec_{i}"]:
-            p[f"cheb_dec_{i}"]["bias"] = jnp.asarray(t2n(tmodel.dec_b[i]))
-    for tname, jname in (("enc_lin", "enc_lin"), ("dec_lin", "dec_lin"),
-                         ("dec_lin_2", "dec_lin_2"),
-                         ("classifier_layer", "classifier_layer"),
-                         ("z_mean", "z_mean"), ("z_log_var", "z_log_var")):
-        lin = getattr(tmodel, tname)
-        p[jname]["kernel"] = jnp.asarray(t2n(lin.weight).T)
-        p[jname]["bias"] = jnp.asarray(t2n(lin.bias))
-
-    params = {"params": p}
     batch = 4
     x = rng.standard_normal((batch, hier.levels[0], 3)).astype(np.float32)
     y = np.eye(2, dtype=np.float32)[rng.integers(0, 2, batch)]
     return tmodel, jmodel, params, ops, x, y, hier
 
 
-def _torch_eval_forward(tmodel, x, y):
-    """Eval-mode forward of the torch twin returning intermediates
-    (z = mu, no sampling)."""
-    with torch.no_grad():
-        xt = torch.tensor(x)
-        yt = torch.tensor(y)
-        b = xt.shape[0]
-        h = xt
-        for i in range(tmodel.n_layers):
-            h = torch.relu(tmodel._cheb(h, tmodel.lap[i], tmodel.enc_w[i],
-                                        tmodel.enc_b[i]))
-            h = tmodel._pool(h, tmodel.down[i])
-        h = torch.relu(tmodel.enc_lin(h.reshape(b, -1)))
-        y_hat = torch.softmax(tmodel.classifier_layer(h), dim=1)
-        hy = torch.cat([yt, h], -1)
-        mu = tmodel.z_mean(hy)
-        logvar = tmodel.z_log_var(hy)
-        d = torch.relu(tmodel.dec_lin(torch.cat([yt, mu], -1)))
-        d = torch.relu(tmodel.dec_lin_2(d))
-        d = d.reshape(b, tmodel.coarse, tmodel.chain[-1])
-        for i in range(tmodel.n_layers):
-            d = tmodel._pool(d, tmodel.up[-i - 1])
-            d = torch.relu(tmodel._cheb(d, tmodel.lap[tmodel.n_layers - i - 1],
-                                        tmodel.dec_w[i], tmodel.dec_b[i]))
-        recon = tmodel._cheb(d, tmodel.lap_final, tmodel.dec_w[-1], None)
-        return (recon.numpy(), y_hat.numpy(), mu.numpy(), logvar.numpy(),
-                h.numpy())
+_torch_eval_forward = torch_eval_forward
 
 
 class TestCrossFrameworkParity:
