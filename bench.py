@@ -53,7 +53,7 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
         "learning_rate": 1e-3,
         "weight_decay": 5e-4,
     }
-    ops = build_operators(hier)
+    ops = build_operators(hier, cheb_method=method, pool_method="gather")
     cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
     model = MeshVAE(cfg)
     trainer = Trainer(model, ops, config)
@@ -129,7 +129,7 @@ def measure_inference(hier, batch_size, steps, method, precision,
         "dropout": 0.2, "cheb_method": method, "pool_method": "gather",
         "matmul_precision": precision,
     }
-    ops = build_operators(hier)
+    ops = build_operators(hier, cheb_method=method, pool_method="gather")
     cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
     model = MeshVAE(cfg)
     engine = InferenceEngine(model, ops)
@@ -248,8 +248,9 @@ def main():
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
 
     if args.mode == "inference":
+        infer_method = "dense" if args.method == "auto" else args.method
         meshes_per_sec, _ = measure_inference(hier, args.batch_size,
-                                              args.steps, args.method,
+                                              args.steps, infer_method,
                                               args.precision,
                                               polygon_order=polygon_order)
         print(json.dumps({

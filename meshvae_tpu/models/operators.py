@@ -18,6 +18,7 @@ from ..ops.graph import (
     PoolOperator,
     cheb_operator,
     embed_operator,
+    layouts_for_method,
     pool_operator,
 )
 
@@ -36,6 +37,8 @@ def build_operators(
     hier: MeshHierarchy,
     dtype=jnp.float32,
     final_conv_adjacency: str = "reference_quirk",
+    cheb_method: str | None = None,
+    pool_method: str | None = None,
 ) -> ModelOperators:
     """final_conv_adjacency:
     - "reference_quirk": last decoder conv sees the coarsest level's operator
@@ -43,12 +46,23 @@ def build_operators(
        /root/reference/models/cheb_VAE.py:288);
     - "finest": last decoder conv sees the true full-resolution operator (the
        presumably-intended behavior, available as a config switch).
+
+    cheb_method / pool_method select which operand layouts get materialized;
+    None builds every layout (method-switching callers, tests). A configured
+    run should pass its methods: at 20k vertices the unused dense level-0
+    operator alone is ~1.6 GB that would otherwise be built on host, shipped
+    through the ~50 MB/s relay, and parked in HBM unread.
     """
-    lap = tuple(cheb_operator(a, dtype=dtype) for a in hier.adjacency)
-    down = tuple(pool_operator(d, dtype=dtype) for d in hier.downsample)
-    up = tuple(pool_operator(u, dtype=dtype) for u in hier.upsample)
+    layouts = layouts_for_method(cheb_method)
+    lap = tuple(cheb_operator(a, dtype=dtype, layouts=layouts)
+                for a in hier.adjacency)
+    down = tuple(pool_operator(d, dtype=dtype, pool_method=pool_method)
+                 for d in hier.downsample)
+    up = tuple(pool_operator(u, dtype=dtype, pool_method=pool_method)
+               for u in hier.upsample)
     if final_conv_adjacency == "reference_quirk":
-        lap_final = embed_operator(hier.adjacency[-1], hier.levels[0], dtype=dtype)
+        lap_final = embed_operator(hier.adjacency[-1], hier.levels[0],
+                                   dtype=dtype, layouts=layouts)
     elif final_conv_adjacency == "finest":
         lap_final = lap[0]
     else:

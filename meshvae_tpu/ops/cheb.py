@@ -91,8 +91,8 @@ def cheb_conv(
         # recurrence on the active corner only and one matmul on the rest.
         sub = GraphOperator(
             dense=op.dense[: op.active_n, : op.active_n],
-            ell_idx=op.ell_idx[: op.active_n],
-            ell_w=op.ell_w[: op.active_n],
+            ell_idx=None if op.ell_idx is None else op.ell_idx[: op.active_n],
+            ell_w=None if op.ell_w is None else op.ell_w[: op.active_n],
             bsr=op.bsr, n=op.active_n)
         inner = cheb_conv(x[:, : op.active_n], sub, weight, bias,
                           method="dense", precision=precision)

@@ -52,14 +52,18 @@ def normalized_neg_adjacency(adjacency: sp.spmatrix) -> sp.csr_matrix:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GraphOperator:
-    """The Chebyshev propagation operator at one hierarchy level, in three
-    layouts: dense [N, N] (MXU matmul path), padded neighbor-list (gather
-    path), and 128-block CSR (Pallas kernel path)."""
+    """The Chebyshev propagation operator at one hierarchy level, in up to
+    three layouts: dense [N, N] (MXU matmul path), padded neighbor-list
+    (gather path), and 128-block CSR (Pallas kernel path). Layouts the
+    configured cheb_method does not read are None — the dense level-0
+    operator alone is O(N^2) (1.6 GB f32 at 20k vertices), which must not be
+    built, shipped through the ~50 MB/s relay, or parked in HBM when the
+    pallas/ell paths never touch it."""
 
-    dense: jnp.ndarray       # [N, N] float32 dense L_hat
-    ell_idx: jnp.ndarray     # [N, max_deg] int32 neighbor ids (self-padded)
-    ell_w: jnp.ndarray       # [N, max_deg] float32 weights (0 on padding)
-    bsr: "BlockSparseOperator"
+    dense: jnp.ndarray | None       # [N, N] float32 dense L_hat
+    ell_idx: jnp.ndarray | None     # [N, max_deg] int32 neighbors (self-pad)
+    ell_w: jnp.ndarray | None       # [N, max_deg] float32 (0 on padding)
+    bsr: "BlockSparseOperator | None"
     n: int = dataclasses.field(metadata=dict(static=True))
     # rows >= active_n have no nonzero entries (row or column): the dense
     # path can run the recurrence on the [active_n, active_n] corner only.
@@ -95,19 +99,52 @@ def _to_ell(mat: sp.csr_matrix, pad_self: bool = True) -> tuple[np.ndarray, np.n
     return idx, w
 
 
-def cheb_operator(adjacency: sp.spmatrix, dtype=jnp.float32) -> GraphOperator:
-    lap = normalized_neg_adjacency(adjacency)
-    idx, w = _to_ell(lap)
+# layouts each cheb_method actually reads (cheb.py / pallas_cheb.py)
+CHEB_METHOD_LAYOUTS = {
+    "dense": ("dense",),
+    "ell": ("ell",),
+    "pallas": ("bsr",),
+    "pallas_fused": ("bsr",),
+}
+ALL_LAYOUTS = ("dense", "ell", "bsr")
+
+
+def layouts_for_method(cheb_method: str | None) -> tuple[str, ...]:
+    """None -> every layout (tests / method-switching callers)."""
+    if cheb_method is None:
+        return ALL_LAYOUTS
+    try:
+        return CHEB_METHOD_LAYOUTS[cheb_method]
+    except KeyError:
+        raise ValueError(f"unknown cheb method: {cheb_method}") from None
+
+
+def _operator_from_laplacian(lap: sp.csr_matrix, layouts, dtype,
+                             n: int, active_n: int = -1) -> GraphOperator:
+    if "ell" in layouts:
+        idx, w = _to_ell(lap)
+        ell_idx, ell_w = jnp.asarray(idx), jnp.asarray(w, dtype=dtype)
+    else:
+        ell_idx = ell_w = None
     return GraphOperator(
-        dense=jnp.asarray(lap.toarray(), dtype=dtype),
-        ell_idx=jnp.asarray(idx),
-        ell_w=jnp.asarray(w, dtype=dtype),
-        bsr=to_block_sparse(lap),
-        n=lap.shape[0],
+        dense=jnp.asarray(lap.toarray(), dtype=dtype)
+        if "dense" in layouts else None,
+        ell_idx=ell_idx,
+        ell_w=ell_w,
+        bsr=to_block_sparse(lap) if "bsr" in layouts else None,
+        n=n,
+        active_n=active_n,
     )
 
 
-def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32) -> GraphOperator:
+def cheb_operator(adjacency: sp.spmatrix, dtype=jnp.float32,
+                  layouts=ALL_LAYOUTS) -> GraphOperator:
+    lap = normalized_neg_adjacency(adjacency)
+    return _operator_from_laplacian(lap, layouts, dtype, n=lap.shape[0])
+
+
+def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32,
+                   layouts=ALL_LAYOUTS) -> GraphOperator:
     """Embed a coarse-level operator into the top-left corner of an [n_full,
     n_full] operator.
 
@@ -121,15 +158,8 @@ def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32) -> Gr
     full = sp.csr_matrix(
         (lap.data, (lap.row, lap.col)), shape=(n_full, n_full)
     )
-    idx, w = _to_ell(full)
-    return GraphOperator(
-        dense=jnp.asarray(full.toarray(), dtype=dtype),
-        ell_idx=jnp.asarray(idx),
-        ell_w=jnp.asarray(w, dtype=dtype),
-        bsr=to_block_sparse(full),
-        n=n_full,
-        active_n=op_coarse.shape[0],
-    )
+    return _operator_from_laplacian(full, layouts, dtype, n=n_full,
+                                    active_n=op_coarse.shape[0])
 
 
 @jax.tree_util.register_dataclass
@@ -142,9 +172,9 @@ class PoolOperator:
     upsampling rows have <= 3 entries.
     """
 
-    idx: jnp.ndarray     # [M, R] int32
-    w: jnp.ndarray       # [M, R] float32
-    dense: jnp.ndarray   # [M, N] float32 (reference path / tests)
+    idx: jnp.ndarray | None     # [M, R] int32
+    w: jnp.ndarray | None       # [M, R] float32
+    dense: jnp.ndarray | None   # [M, N] float32 (dense pool path / tests)
     n_in: int = dataclasses.field(metadata=dict(static=True))
     n_out: int = dataclasses.field(metadata=dict(static=True))
 
@@ -153,13 +183,20 @@ class PoolOperator:
         return self.idx.shape[1] == 1
 
 
-def pool_operator(mat: sp.spmatrix, dtype=jnp.float32) -> PoolOperator:
+def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
+                  pool_method: str | None = None) -> PoolOperator:
+    """pool_method None builds both layouts; "gather"/"dense" build one."""
     csr = sp.csr_matrix(mat)
-    idx, w = _to_ell(csr, pad_self=False)
+    if pool_method in (None, "gather"):
+        idx_np, w_np = _to_ell(csr, pad_self=False)
+        idx, w = jnp.asarray(idx_np), jnp.asarray(w_np, dtype=dtype)
+    else:
+        idx = w = None
     return PoolOperator(
-        idx=jnp.asarray(idx),
-        w=jnp.asarray(w, dtype=dtype),
-        dense=jnp.asarray(csr.toarray(), dtype=dtype),
+        idx=idx,
+        w=w,
+        dense=jnp.asarray(csr.toarray(), dtype=dtype)
+        if pool_method in (None, "dense") else None,
         n_in=csr.shape[1],
         n_out=csr.shape[0],
     )

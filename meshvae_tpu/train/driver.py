@@ -45,6 +45,8 @@ def build_model_and_ops(config: dict, dtype=jnp.float32):
         hier, dtype=dtype,
         final_conv_adjacency=config.get("final_conv_adjacency",
                                         "reference_quirk"),
+        cheb_method=config.get("cheb_method", "dense"),
+        pool_method=config.get("pool_method", "gather"),
     )
     cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1],
                                 num_features=template.v.shape[1])

@@ -180,3 +180,60 @@ class TestQuirkFastPath:
             ell = cheb_conv(x, slow_op, w, b, method="ell")
             np.testing.assert_allclose(np.asarray(fast), np.asarray(ell),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestLayoutSelection:
+    """Per-method operand layouts: only what the configured path reads gets
+    materialized (at 20k vertices the unread dense operators are gigabytes)."""
+
+    def test_trimmed_layouts_are_none(self, grid_mesh):
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+
+        hier = build_hierarchy(grid_mesh, [2, 2])
+        pallas_ops = build_operators(hier, cheb_method="pallas",
+                                     pool_method="gather")
+        assert pallas_ops.lap[0].dense is None
+        assert pallas_ops.lap[0].ell_idx is None
+        assert pallas_ops.lap[0].bsr is not None
+        assert pallas_ops.lap_final.dense is None
+        assert pallas_ops.up[0].dense is None
+        assert pallas_ops.up[0].idx is not None
+
+        dense_ops = build_operators(hier, cheb_method="dense",
+                                    pool_method="dense")
+        assert dense_ops.lap[0].dense is not None
+        assert dense_ops.lap[0].bsr is None
+        assert dense_ops.up[0].idx is None
+        assert dense_ops.up[0].dense is not None
+
+        full = build_operators(hier)  # no method -> everything
+        assert full.lap[0].dense is not None and full.lap[0].bsr is not None
+
+    def test_trimmed_ops_compute_identically(self, grid_mesh):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+        from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+
+        hier = build_hierarchy(grid_mesh, [2, 2])
+        cfg = VAEConfig(num_features=3, filters=(4, 4, 8),
+                        polygon_order=(3, 3, 3), n_layers=2, num_hidden=16,
+                        latent=4, num_classes=2, dropout=0.0,
+                        coarse_verts=hier.levels[-1], cheb_method="ell")
+        model = MeshVAE(cfg)
+        full = build_operators(hier)
+        trimmed = build_operators(hier, cheb_method="ell",
+                                  pool_method="gather")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, hier.levels[0], 3)),
+                        jnp.float32)
+        y = jnp.asarray(np.eye(2, dtype=np.float32)[[0, 1]])
+        params = model.init({"params": jax.random.key(0)}, x, y, trimmed,
+                            train=False)
+        out_t = model.apply(params, x, y, trimmed, train=False)
+        out_f = model.apply(params, x, y, full, train=False)
+        np.testing.assert_array_equal(np.asarray(out_t["recon"]),
+                                      np.asarray(out_f["recon"]))
