@@ -32,7 +32,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure_jax(hier, batch_size, steps, warmup, method, precision,
-                polygon_order=6, scan=False):
+                polygon_order=6, scan=False, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
     from meshvae_tpu.models.operators import build_operators
@@ -50,10 +50,13 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
         "cheb_method": method,
         "pool_method": "gather",
         "matmul_precision": precision,
+        "compute_dtype": compute_dtype,
         "learning_rate": 1e-3,
         "weight_decay": 5e-4,
     }
-    ops = build_operators(hier, cheb_method=method, pool_method="gather")
+    op_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    ops = build_operators(hier, dtype=op_dtype, cheb_method=method,
+                          pool_method="gather")
     cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
     model = MeshVAE(cfg)
     trainer = Trainer(model, ops, config)
@@ -161,6 +164,59 @@ def measure_inference(hier, batch_size, steps, method, precision,
     return batch_size * steps / dt, val
 
 
+def measure_crecon(hier, batch_size, steps, method, precision,
+                   polygon_order=6):
+    """BASELINE config 2: the crecon second-stage train step — frozen-VAE
+    difference features + GCN forward + CE + backward + Adam, one jitted
+    step (reference crecon.py:65-100,162-201 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from meshvae_tpu.models.gcn import ChebGCN, GCNConfig
+    from meshvae_tpu.models.operators import build_operators
+    from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+    from meshvae_tpu.train.crecon_driver import CreconTrainer
+
+    config = {
+        "num_conv_filters": [16, 16, 16, 32, 32],
+        "polygon_order": [polygon_order] * 5,
+        "n_layers": 4, "num_hidden": 512, "num_style": 16, "num_classes": 2,
+        "dropout": 0.2, "cheb_method": method, "pool_method": "gather",
+        "matmul_precision": precision,
+        "learning_rate": 1e-4, "weight_decay": 5e-4, "scan_epoch": False,
+    }
+    ops = build_operators(hier, cheb_method=method, pool_method="gather")
+    vae = MeshVAE(VAEConfig.from_config(config, coarse_verts=hier.levels[-1]))
+    gcn = ChebGCN(GCNConfig.from_config(config, coarse_verts=hier.levels[-1],
+                                        num_features=6))
+    trainer = CreconTrainer(gcn, vae, ops, config)
+
+    rng = np.random.default_rng(0)
+    n0 = hier.levels[0]
+    x0 = jnp.zeros((1, n0, 3), jnp.float32)
+    y0 = jnp.zeros((1, 2), jnp.float32)
+    vae_params = vae.init({"params": jax.random.key(0)}, x0, y0, ops,
+                          train=False)
+    params = trainer.init_params(jax.random.key(1))
+    opt_state = trainer.optimizer.init(params)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((batch_size, n0, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, batch_size).astype(np.int32)),
+        "mask": jnp.ones((batch_size,), jnp.float32),
+    }
+
+    params, opt_state, m = trainer._train_step(params, opt_state, vae_params,
+                                               dict(batch), ops)
+    float(np.asarray(m)[0])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, m = trainer._train_step(params, opt_state,
+                                                   vae_params, dict(batch),
+                                                   ops)
+    loss = float(np.asarray(m)[0])  # forced completion
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, loss
+
+
 def try_pallas_subprocess(args, polygon_order):
     """Run the pallas-path bench in a time-boxed subprocess (its remote
     kernel compile can take ~10 minutes; a timeout must not lose the dense
@@ -171,7 +227,8 @@ def try_pallas_subprocess(args, polygon_order):
            "--method", "pallas", "--skip-torch",
            "--batch-size", str(args.batch_size),
            "--steps", str(args.steps), "--warmup", str(args.warmup),
-           "--precision", args.precision, "--workload", args.workload]
+           "--precision", args.precision, "--workload", args.workload,
+           "--compute-dtype", args.compute_dtype]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=args.pallas_timeout)
@@ -187,8 +244,11 @@ def try_pallas_subprocess(args, polygon_order):
     return None
 
 
-def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
+def torch_baseline(hier, batch_size, refresh=False, polygon_order=6,
+                   mode="train"):
     key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
+    if mode != "train":
+        key = f"{mode}_{key}"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         try:
@@ -198,9 +258,14 @@ def torch_baseline(hier, batch_size, refresh=False, polygon_order=6):
             cache = {}
     if not refresh and key in cache:
         return cache[key]
-    from benchmarks.torch_cpu_baseline import measure_torch_baseline
-    value = measure_torch_baseline(hier, batch_size=batch_size,
-                                   polygon_order=polygon_order)
+    if mode == "crecon":
+        from benchmarks.torch_cpu_baseline import measure_torch_crecon
+        value = measure_torch_crecon(hier, batch_size=batch_size,
+                                     polygon_order=polygon_order)
+    else:
+        from benchmarks.torch_cpu_baseline import measure_torch_baseline
+        value = measure_torch_baseline(hier, batch_size=batch_size,
+                                       polygon_order=polygon_order)
     cache[key] = value
     with open(BASELINE_CACHE, "w") as fp:
         json.dump(cache, fp)
@@ -213,7 +278,7 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--method", default="auto",
-                        help="dense | ell | pallas | pallas_fused | auto "
+                        help="dense | ell | pallas | auto "
                              "(auto = dense now, then try the pallas kernel "
                              "in a time-boxed subprocess and report the "
                              "better result; pallas compiles take ~10min "
@@ -221,20 +286,30 @@ def main():
     parser.add_argument("--pallas-timeout", type=int, default=1500,
                         help="seconds allowed for the auto-mode pallas try")
     parser.add_argument("--precision", default="highest")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16: half-width operands + bf16 compute "
+                             "with f32 accumulation (parity delta recorded "
+                             "in BASELINE.md)")
     parser.add_argument("--skip-torch", action="store_true",
                         help="use cached torch baseline only")
     parser.add_argument("--refresh-torch", action="store_true")
     parser.add_argument("--scan", action="store_true",
                         help="measure the epoch-scan path (one dispatch)")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "inference"],
+                        choices=["train", "inference", "crecon"],
                         help="inference: the batch reconstruction pipeline "
-                             "(BASELINE config 4; typically --batch-size 128)")
+                             "(BASELINE config 4; typically --batch-size 128); "
+                             "crecon: the second-stage classifier train step "
+                             "(BASELINE config 2)")
     parser.add_argument("--workload", default="default",
                         choices=["default", "scaled20k"],
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
                              "template with K=10 (BASELINE.json config 5)")
     args = parser.parse_args()
+    if args.compute_dtype == "bfloat16" and args.precision == "highest":
+        # HIGHEST would force multi-pass emulation on bf16 operands
+        args.precision = "default"
 
     from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
     from meshvae_tpu.mesh.io import load_obj
@@ -246,6 +321,36 @@ def main():
         template = subdivide_midpoint(template)
         polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
+
+    if args.mode == "crecon":
+        crecon_method = "dense" if args.method == "auto" else args.method
+        meshes_per_sec, _ = measure_crecon(hier, args.batch_size, args.steps,
+                                           crecon_method, args.precision,
+                                           polygon_order=polygon_order)
+        baseline = None
+        try:
+            if not (args.skip_torch and not args.refresh_torch):
+                baseline = torch_baseline(hier, args.batch_size,
+                                          refresh=args.refresh_torch,
+                                          polygon_order=polygon_order,
+                                          mode="crecon")
+            elif os.path.exists(BASELINE_CACHE):
+                with open(BASELINE_CACHE) as fp:
+                    baseline = json.load(fp).get(
+                        f"crecon_bs{args.batch_size}_n{hier.levels[0]}"
+                        f"_k{polygon_order}")
+        except Exception as exc:
+            print(f"torch crecon baseline unavailable: {exc}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "crecon_train_throughput_%s_bs%d" % (
+                "5k" if args.workload == "default" else "20k",
+                args.batch_size),
+            "value": round(meshes_per_sec, 2),
+            "unit": "meshes/sec/chip",
+            "vs_baseline": round(meshes_per_sec / baseline, 2)
+            if baseline else None,
+        }))
+        return
 
     if args.mode == "inference":
         infer_method = "dense" if args.method == "auto" else args.method
@@ -273,7 +378,8 @@ def main():
                                        args.warmup, method,
                                        args.precision,
                                        polygon_order=polygon_order,
-                                       scan=args.scan)
+                                       scan=args.scan,
+                                       compute_dtype=args.compute_dtype)
     best_method = method
     if pallas_result is not None and pallas_result > meshes_per_sec:
         meshes_per_sec = pallas_result
@@ -294,6 +400,8 @@ def main():
         print(f"torch baseline unavailable: {exc}", file=sys.stderr)
 
     tag = "5k" if args.workload == "default" else "20k"
+    if args.compute_dtype == "bfloat16":
+        tag += "_bf16"
     result = {
         "metric": "train_throughput_%s_vae_bs%d" % (tag, args.batch_size),
         "value": round(meshes_per_sec, 2),

@@ -160,3 +160,104 @@ def measure_torch_baseline(hier, batch_size=16, steps=5, warmup=2,
         opt.step()
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
+
+
+class TorchChebGCN(torch.nn.Module):
+    """Same-math torch implementation of the reference cheb_GCN second stage
+    (reference models/cheb_cls.py:55-114: n_layers x (ChebConv -> ReLU ->
+    Pool) over 6 diff channels, flatten at filters[-2], 128-hidden head)."""
+
+    def __init__(self, hier, filters, K, num_feature=6, hidden=128,
+                 num_classes=2):
+        super().__init__()
+        from meshvae_tpu.ops.graph import normalized_neg_adjacency
+
+        self.n_layers = len(hier.downsample)
+        chain = [num_feature] + list(filters)
+        self.chain = chain
+        self.lap = [_sparse(normalized_neg_adjacency(a))
+                    for a in hier.adjacency]
+        self.down = [_sparse(d) for d in hier.downsample]
+        self.cheb_w = torch.nn.ParameterList()
+        self.cheb_b = torch.nn.ParameterList()
+        for i in range(len(chain) - 2):
+            self.cheb_w.append(torch.nn.Parameter(
+                0.1 * torch.randn(K[i], chain[i], chain[i + 1])))
+            self.cheb_b.append(torch.nn.Parameter(torch.zeros(chain[i + 1])))
+        coarse = hier.levels[-1]
+        self.enc_lin = torch.nn.Linear(coarse * chain[-2], hidden)
+        self.cls_layer = torch.nn.Linear(hidden, num_classes)
+
+    # same propagation/conv/pool machinery as the VAE twin
+    _prop = staticmethod(TorchChebVAE._prop)
+    _cheb = TorchChebVAE._cheb
+    _pool = staticmethod(TorchChebVAE._pool)
+
+    def forward(self, x):
+        b = x.shape[0]
+        for i in range(self.n_layers):
+            x = torch.relu(self._cheb(x, self.lap[i],
+                                      self.cheb_w[i], self.cheb_b[i]))
+            x = self._pool(x, self.down[i])
+        x = torch.relu(self.enc_lin(x.reshape(b, -1)))
+        return self.cls_layer(x)
+
+
+def measure_torch_crecon(hier, batch_size=16, steps=5, warmup=2, seed=0,
+                         polygon_order=6) -> float:
+    """meshes/sec of the torch-CPU crecon train step: frozen-VAE diff
+    features (reference crecon.py:162-201) + GCN forward + CE + backward +
+    Adam (crecon.py:65-100)."""
+    torch.manual_seed(seed)
+    vae = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32],
+                       K=[polygon_order] * 5, num_hidden=512, latent=16,
+                       num_classes=2, dropout=0.2)
+    vae.eval()
+    gcn = TorchChebGCN(hier, filters=[16, 16, 16, 32, 32],
+                       K=[polygon_order] * 5)
+    opt = torch.optim.Adam(gcn.parameters(), lr=1e-4, weight_decay=5e-4)
+    ce = torch.nn.CrossEntropyLoss()
+    n0 = hier.levels[0]
+    x = torch.randn(batch_size, n0, 3)
+    labels = torch.randint(0, 2, (batch_size,))
+    y = torch.eye(2)[labels]
+
+    def estimate_diff():
+        with torch.no_grad():
+            h = x
+            for i in range(vae.n_layers):
+                h = torch.relu(vae._cheb(h, vae.lap[i], vae.enc_w[i],
+                                         vae.enc_b[i]))
+                h = vae._pool(h, vae.down[i])
+            h = torch.relu(vae.enc_lin(h.reshape(batch_size, -1)))
+            mu = vae.z_mean(torch.cat([y, h], -1))
+
+            def decode(onehot):
+                d = torch.relu(vae.dec_lin(torch.cat([onehot, mu], -1)))
+                d = torch.relu(vae.dec_lin_2(d))
+                d = d.reshape(batch_size, vae.coarse, vae.chain[-1])
+                for i in range(vae.n_layers):
+                    d = vae._pool(d, vae.up[-i - 1])
+                    d = torch.relu(vae._cheb(
+                        d, vae.lap[vae.n_layers - i - 1], vae.dec_w[i],
+                        vae.dec_b[i]))
+                return vae._cheb(d, vae.lap_final, vae.dec_w[-1], None)
+
+            recon = decode(y)
+            recon_oppo = decode(1.0 - y)
+            return torch.cat([x - recon_oppo, x - recon], -1)
+
+    def step():
+        diff = estimate_diff()
+        opt.zero_grad()
+        loss = ce(gcn(diff), labels)
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt

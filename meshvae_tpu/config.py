@@ -68,6 +68,10 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "hierarchy_mode": (str, "fast"),     # fast | reference (bit-exact QSlim)
     "data_parallel": (int, 1),           # devices along the batch axis
     "seq_parallel": (int, 1),            # devices along the vertex axis
+    "multihost": (_bool, False),         # jax.distributed.initialize first
+    "coordinator_address": (str, ""),    # host:port ("" = auto-detect)
+    "num_processes": (int, 0),           # 0 = auto-detect
+    "process_id": (int, -1),             # -1 = auto-detect
     "scan_epoch": (_bool, True),         # whole epoch in one device dispatch
     "hierarchy_cache_dir": (str, ""),
     "profile_dir": (str, ""),            # jax.profiler trace output ("" = off)

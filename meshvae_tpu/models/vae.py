@@ -56,7 +56,10 @@ def _torch_linear_bias_init(fan_in: int):
 
 
 class ChebConvLayer(nn.Module):
-    """One Chebyshev graph convolution; the operator is passed at call time."""
+    """One Chebyshev graph convolution; the operator is passed at call time.
+
+    dtype is the computation dtype (params stay f32 master weights; with
+    bfloat16 the inputs/weights are downcast and the MXU accumulates f32)."""
 
     in_features: int
     out_features: int
@@ -64,6 +67,7 @@ class ChebConvLayer(nn.Module):
     use_bias: bool = True
     method: str = "dense"
     precision: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, op: GraphOperator) -> jnp.ndarray:
@@ -75,12 +79,13 @@ class ChebConvLayer(nn.Module):
             if self.use_bias
             else None
         )
-        return cheb_conv(x, op, weight, bias, method=self.method,
-                         precision=self.precision)
+        return cheb_conv(x.astype(self.dtype), op, weight.astype(self.dtype),
+                         None if bias is None else bias.astype(self.dtype),
+                         method=self.method, precision=self.precision)
 
 
 def _dense(features: int, fan_in: int, kernel_init=None, name: str | None = None,
-           precision=None):
+           precision=None, dtype=jnp.float32):
     from ..ops.cheb import resolve_precision
 
     return nn.Dense(
@@ -88,6 +93,7 @@ def _dense(features: int, fan_in: int, kernel_init=None, name: str | None = None
         kernel_init=kernel_init or _torch_linear_kernel_init,
         bias_init=_torch_linear_bias_init(fan_in),
         precision=resolve_precision(precision),
+        dtype=dtype,   # computation dtype; params stay f32
         name=name,
     )
 
@@ -106,9 +112,17 @@ class VAEConfig:
     cheb_method: str = "dense"
     pool_method: str = "gather"
     precision: str | None = None
+    compute_dtype: str = "float32"   # float32 | bfloat16 (f32 accumulation)
 
     @staticmethod
     def from_config(cfg: dict, coarse_verts: int, num_features: int = 3) -> "VAEConfig":
+        compute_dtype = str(cfg.get("compute_dtype", "float32") or "float32")
+        precision = cfg.get("matmul_precision")
+        if compute_dtype == "bfloat16" and not precision:
+            # HIGHEST on bf16 operands would force multi-pass emulation,
+            # defeating the speed mode; bf16 runs at DEFAULT unless the
+            # config explicitly overrides
+            precision = "default"
         return VAEConfig(
             num_features=num_features,
             filters=tuple(cfg["num_conv_filters"]),
@@ -121,8 +135,13 @@ class VAEConfig:
             coarse_verts=coarse_verts,
             cheb_method=str(cfg.get("cheb_method", "dense")),
             pool_method=str(cfg.get("pool_method", "gather")),
-            precision=cfg.get("matmul_precision"),
+            precision=precision,
+            compute_dtype=compute_dtype,
         )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 class MeshVAE(nn.Module):
@@ -141,7 +160,7 @@ class MeshVAE(nn.Module):
             (filters[-i - 1], filters[-i - 2], c.polygon_order[i])
             for i in range(len(filters) - 1)
         ]
-        kw = dict(method=c.cheb_method, precision=c.precision)
+        kw = dict(method=c.cheb_method, precision=c.precision, dtype=c.dtype)
         self.cheb = [
             ChebConvLayer(i, o, k, **kw, name=f"cheb_enc_{n}")
             for n, (i, o, k) in enumerate(enc_specs)
@@ -153,19 +172,21 @@ class MeshVAE(nn.Module):
         ]
 
         flat = c.coarse_verts * filters[-1]
-        p = c.precision
+        p, dt = c.precision, c.dtype
         self.enc_lin = _dense(c.num_hidden, flat, kernel_init=_normal_init(0.1),
-                              name="enc_lin", precision=p)
+                              name="enc_lin", precision=p, dtype=dt)
         self.dec_lin = _dense(c.num_hidden, c.latent + c.num_classes,
                               kernel_init=_normal_init(0.1), name="dec_lin",
-                              precision=p)
-        self.dec_lin_2 = _dense(flat, c.num_hidden, name="dec_lin_2", precision=p)
+                              precision=p, dtype=dt)
+        self.dec_lin_2 = _dense(flat, c.num_hidden, name="dec_lin_2",
+                                precision=p, dtype=dt)
         self.classifier_layer = _dense(c.num_classes, c.num_hidden,
-                                       name="classifier_layer", precision=p)
+                                       name="classifier_layer", precision=p,
+                                       dtype=dt)
         self.z_mean = _dense(c.latent, c.num_hidden + c.num_classes,
-                             name="z_mean", precision=p)
+                             name="z_mean", precision=p, dtype=dt)
         self.z_log_var = _dense(c.latent, c.num_hidden + c.num_classes,
-                                name="z_log_var", precision=p)
+                                name="z_log_var", precision=p, dtype=dt)
         self.dropout = nn.Dropout(rate=c.dropout)
 
     # --- submodules -------------------------------------------------------
@@ -174,6 +195,7 @@ class MeshVAE(nn.Module):
                train: bool = False) -> jnp.ndarray:
         """x: [B, N, F_in] -> h: [B, num_hidden]."""
         c = self.cfg
+        x = x.astype(c.dtype)
         for i in range(c.n_layers):
             x = jax.nn.relu(self.cheb[i](x, ops.lap[i]))
             x = pool_apply(x, ops.down[i], method=c.pool_method,
@@ -184,9 +206,10 @@ class MeshVAE(nn.Module):
         return x
 
     def classify(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """h: [B, num_hidden] -> y_hat: [B, C] (softmax)."""
+        """h: [B, num_hidden] -> y_hat: [B, C] (softmax, computed in f32)."""
         h = self.dropout(h, deterministic=not train)
-        return jax.nn.softmax(self.classifier_layer(h), axis=-1)
+        logits = self.classifier_layer(h).astype(jnp.float32)
+        return jax.nn.softmax(logits, axis=-1)
 
     def decode(self, z: jnp.ndarray, ops: ModelOperators,
                train: bool = False) -> jnp.ndarray:
@@ -202,7 +225,8 @@ class MeshVAE(nn.Module):
                            precision=c.precision)
             x = jax.nn.relu(self.cheb_dec[i](x, ops.lap[c.n_layers - i - 1]))
         recon = self.cheb_dec[-1](x, ops.lap_final)
-        return recon
+        # loss/error math downstream is always f32
+        return recon.astype(jnp.float32)
 
     def sample(self, y: jnp.ndarray, z: jnp.ndarray, ops: ModelOperators,
                train: bool = False) -> jnp.ndarray:
@@ -226,9 +250,9 @@ class MeshVAE(nn.Module):
         """
         h = self.encode(x, ops, train=train)
         y_hat = self.classify(h, train=train)
-        hy = jnp.concatenate([y, h], axis=-1)
-        mu = self.z_mean(hy)
-        logvar = self.z_log_var(hy)
+        hy = jnp.concatenate([y.astype(h.dtype), h], axis=-1)
+        mu = self.z_mean(hy).astype(jnp.float32)
+        logvar = self.z_log_var(hy).astype(jnp.float32)
         z = self.reparameterize(mu, logvar) if train else mu
         recon = self.sample(y, z, ops, train=train)
         return {"recon": recon, "y_hat": y_hat, "mu": mu, "logvar": logvar, "z": z}

@@ -41,7 +41,10 @@ class BlockSparseOperator:
         return self.blocks.shape[0]
 
 
-def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK) -> BlockSparseOperator:
+def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
+                    dtype=jnp.float32) -> BlockSparseOperator:
+    """dtype=bfloat16 halves the operator's HBM streaming (the kernel still
+    accumulates in f32 via preferred_element_type)."""
     coo = sp.coo_matrix(mat)
     n = coo.shape[0]
     assert coo.shape[0] == coo.shape[1], "square operators only"
@@ -83,7 +86,7 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK) -> BlockSparseOperator
         first[1:] = (block_row[1:] != block_row[:-1]).astype(np.int32)
 
     return BlockSparseOperator(
-        blocks=jnp.asarray(blocks),
+        blocks=jnp.asarray(blocks, dtype=dtype),
         block_row=jnp.asarray(block_row),
         block_col=jnp.asarray(block_col),
         first=jnp.asarray(first),

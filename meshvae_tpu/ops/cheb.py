@@ -75,9 +75,11 @@ def cheb_conv(
         return cheb_conv_pallas(x, op, weight, bias, precision=precision)
 
     if method == "pallas_fused":
-        from .pallas_fused import cheb_conv_fused
-
-        return cheb_conv_fused(x, op, weight, bias, precision=precision)
+        raise ValueError(
+            "cheb_method=pallas_fused was retired: it is strictly dominated "
+            "by 'pallas' (see ops/pallas_fused.py docstring and BASELINE.md "
+            "for the measurements). Use 'pallas', or 'dense' with "
+            "compute_dtype=bfloat16 for maximum throughput.")
 
     k = weight.shape[0]
     prec = resolve_precision(precision)

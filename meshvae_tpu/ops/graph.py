@@ -104,7 +104,6 @@ CHEB_METHOD_LAYOUTS = {
     "dense": ("dense",),
     "ell": ("ell",),
     "pallas": ("bsr",),
-    "pallas_fused": ("bsr",),
 }
 ALL_LAYOUTS = ("dense", "ell", "bsr")
 
@@ -131,7 +130,7 @@ def _operator_from_laplacian(lap: sp.csr_matrix, layouts, dtype,
         if "dense" in layouts else None,
         ell_idx=ell_idx,
         ell_w=ell_w,
-        bsr=to_block_sparse(lap) if "bsr" in layouts else None,
+        bsr=to_block_sparse(lap, dtype=dtype) if "bsr" in layouts else None,
         n=n,
         active_n=active_n,
     )

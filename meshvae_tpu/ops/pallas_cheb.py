@@ -103,7 +103,9 @@ def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         return _bsr_matmul_impl(bsr, x, precision), None
 
     def bwd(_, g):
-        return (_bsr_matmul_impl(bsr, g, precision),)
+        # cotangent arrives f32 (kernel accumulates/emits f32); cast back to
+        # the operand dtype so the bf16-block mode streams bf16 both ways
+        return (_bsr_matmul_impl(bsr, g.astype(bsr.blocks.dtype), precision),)
 
     mm.defvjp(fwd, bwd)
     return mm(x2d)
@@ -131,6 +133,10 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     k, _, f_out = weight.shape
     n_pad, f_pad = _pad_amounts(n, b, f_in)
 
+    # recurrence state stays f32 (the kernel emits f32 accumulations); with
+    # bf16 operator blocks the activations are downcast per propagation so
+    # both SpMM operands stream at half width
+    op_dtype = bsr.blocks.dtype
     xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # [N, B, F]
     xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
     w = jnp.pad(weight.astype(jnp.float32),
@@ -139,8 +145,9 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     from .cheb import resolve_precision
 
     prec = resolve_precision(precision)
-    prop = lambda t: bsr_matmul(bsr, t.reshape(n_pad, b * f_pad),
-                                precision=prec).reshape(n_pad, b, f_pad)
+    prop = lambda t: bsr_matmul(
+        bsr, t.astype(op_dtype).reshape(n_pad, b * f_pad),
+        precision=prec).reshape(n_pad, b, f_pad)
     mix = lambda t, wk: jax.lax.dot_general(
         t, wk, (((2,), (0,)), ((), ())),
         precision=prec,

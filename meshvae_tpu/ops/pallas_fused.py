@@ -1,5 +1,19 @@
 """Fused Chebyshev conv kernel: block-sparse propagation + in-kernel
-channel mix.
+channel mix. RETIRED from the `cheb_method` surface — kept as a documented
+negative result.
+
+Honest measurement (BASELINE.md, docs/architecture.md) shows it strictly
+dominated by the plain `pallas` kernel: bs16 3,106 vs 3,079 (tie), bs128
+4,108 vs 4,802, 20k-vertex 254 vs 286 meshes/sec. The per-k HBM accumulator
+round-trip (read+write at C_out width) outweighs the single T_k re-read it
+saves. The tempting fix — k innermost over a row-block with a VMEM scratch
+accumulator, spilling once per row — cannot work for this op: the SpMM mixes
+rows globally, so producing any row-block of T_{k+1} requires ALL rows of
+T_k; k cannot be innermost without keeping full-height T panels resident
+(breaks past ~8k vertices). The module stays importable (and tested) so the
+design record is executable, but it is not a selectable config method.
+
+Original design:
 
 The plain pallas path materializes every T_k to HBM and re-reads it for the
 channel mix (out += T_k @ W_k), tripling T-traffic. This kernel computes

@@ -33,9 +33,17 @@ from .metrics import (RunLog, epoch_line, history_record, maybe_profile,
                       write_history)
 
 
-def build_model_and_ops(config: dict, dtype=jnp.float32):
+def build_model_and_ops(config: dict, dtype=None):
     """Template -> hierarchy -> static operators -> model (the role of the
-    reference's get_model factory, /root/reference/model.py:35-118)."""
+    reference's get_model factory, /root/reference/model.py:35-118).
+
+    dtype None follows the config's compute_dtype: bfloat16 stores the graph
+    operands at half width (operator streaming is the hot path's bandwidth
+    bill) and the model computes in bf16 with f32 accumulation."""
+    if dtype is None:
+        dtype = (jnp.bfloat16
+                 if str(config.get("compute_dtype", "")) == "bfloat16"
+                 else jnp.float32)
     template = load_obj(config["template"])
     cache_dir = config.get("hierarchy_cache_dir") or None
     hier = load_or_build_hierarchy(template, config["downsampling_factors"],
@@ -54,6 +62,23 @@ def build_model_and_ops(config: dict, dtype=jnp.float32):
     return model, ops, hier, template
 
 
+def maybe_init_multihost(config: dict) -> None:
+    """jax.distributed.initialize when the config asks for multi-host (one
+    process per host of a TPU slice); after it, jax.devices() spans all
+    hosts and the dp/sp mesh lays over the global device set. Must run
+    before any backend touch, so drivers call it before building models."""
+    if not config.get("multihost"):
+        return
+    from ..parallel.sharding import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=config.get("coordinator_address") or None,
+        num_processes=int(config.get("num_processes") or 0) or None,
+        process_id=(int(config["process_id"])
+                    if int(config.get("process_id", -1)) >= 0 else None),
+    )
+
+
 def make_trainer(config: dict, model, ops) -> Trainer:
     dp = int(config.get("data_parallel", 1))
     sp = int(config.get("seq_parallel", 1))
@@ -62,6 +87,7 @@ def make_trainer(config: dict, model, ops) -> Trainer:
 
 
 def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
+    maybe_init_multihost(config)
     checkpoint_dir = config["checkpoint_dir"]
     os.makedirs(checkpoint_dir, exist_ok=True)
 

@@ -35,27 +35,26 @@ def main():
 
     with open(args.JSONFile, "r") as fp:
         data = json.load(fp)
-    types = ["training", "validation"]
-    loss_types = list(data[0][types[1]].keys())
+    splits = ["training", "validation"]
+    metrics = list(data[0]["validation"].keys())
     epochs = [e["epoch"] for e in data]
 
-    figure = plt.figure(figsize=(18, 10))
+    ncols = 3
+    nrows = max(1, -(-len(metrics) // ncols))
+    figure, axes = plt.subplots(nrows, ncols, figsize=(18, 10), squeeze=False)
     figure.suptitle(args.JSONFile, fontsize=16)
 
-    width = 3
-    pos = width * 100 + width * 10
-    for loss in loss_types:
-        pos += 1
-        loss_txt = " ".join(loss.split("_"))
-        ax = figure.add_subplot(pos)
+    for ax, metric in zip(axes.ravel(), metrics):
+        label = metric.replace("_", " ")
         ax.set_xlabel("epoch")
-        ax.set_ylabel(loss_txt)
+        ax.set_ylabel(label)
         ax.set_xlim(0, epochs[-1])
-        for typ in types:
-            if loss not in data[0][typ]:
-                continue
-            ax.plot(epochs, [e[typ][loss] for e in data], label=typ)
-        ax.legend(title=loss_txt, loc="center right")
+        for split in splits:
+            if metric in data[0][split]:
+                ax.plot(epochs, [e[split][metric] for e in data], label=split)
+        ax.legend(title=label, loc="center right")
+    for ax in axes.ravel()[len(metrics):]:
+        ax.set_visible(False)
 
     duration = (data[-1]["begin"] - data[0]["begin"] + data[-1]["duration"])
     text = "Total training time : " + format_timespan(math.ceil(duration))

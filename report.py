@@ -1,8 +1,32 @@
 #!/usr/bin/env python
 """Analyse inference results — CLI parity with /root/reference/report.py:
-`python report.py inference.json [-p] [-e]`."""
+`python report.py inference.json [-p] [-e]`.
+
+Input schema (written by inference.py): {filename: {"sex": 0|1,
+"reconstruction_error": {"max": float, "mean": float}}}. Ground-truth sex
+comes from the filename's second `_`-separated token (f=0, m=1), the same
+convention the dataset loader uses."""
 import argparse
 import json
+
+
+def label_from_name(name: str) -> int:
+    return 0 if name.split("_")[1] == "f" else 1
+
+
+def prediction_report(data: dict) -> tuple[int, list[str]]:
+    """Returns (n_wrong, lines describing each wrong prediction)."""
+    n_wrong = 0
+    lines = []
+    for name, record in data.items():
+        if label_from_name(name) == record["sex"]:
+            continue
+        n_wrong += 1
+        err = record["reconstruction_error"]
+        lines.append(f"{name}: wrong prediction")
+        lines.append(f"reconstruction error : max= {err['max']}, "
+                     f"mean= {err['mean']}")
+    return n_wrong, lines
 
 
 def main():
@@ -19,35 +43,22 @@ def main():
     with open(args.JSONFile, "r") as fp:
         data = json.load(fp)
 
-    individuals = []
-    n_predictions = 0
-    n_wrong = 0
-
-    for name in data:
-        data[name]["file"] = name
-        individuals.append(data[name])
-        n_predictions += 1
-
-        if args.p:
-            sex_token = name.split("_")[1]
-            sex = 0 if sex_token == "f" else 1
-            if sex != data[name]["sex"]:
-                n_wrong += 1
-                print(name + ": wrong prediction")
-                err = data[name]["reconstruction_error"]
-                print("reconstruction error : max= " + str(err["max"]) +
-                      ", mean= " + str(err["mean"]))
-
-    print(str(n_predictions) + " predictions")
     if args.p:
-        accuracy = 100 - (100 * n_wrong / n_predictions) if n_predictions else 0
-        print("{} wrong predictions. Accuracy : {:.2f}%)".format(n_wrong,
-                                                                 accuracy))
+        n_wrong, lines = prediction_report(data)
+        for line in lines:
+            print(line)
+
+    print(f"{len(data)} predictions")
+    if args.p:
+        accuracy = 100.0 * (len(data) - n_wrong) / len(data) if data else 0.0
+        print(f"{n_wrong} wrong predictions. Accuracy : {accuracy:.2f}%")
+
     if args.e:
         print("Sorted max errors:")
-        individuals.sort(key=lambda i: i["reconstruction_error"]["max"])
-        for ind in individuals:
-            print(ind["file"] + " : " + str(ind["reconstruction_error"]["max"]))
+        by_max_error = sorted(
+            data.items(), key=lambda kv: kv[1]["reconstruction_error"]["max"])
+        for name, record in by_max_error:
+            print(f"{name} : {record['reconstruction_error']['max']}")
 
 
 if __name__ == "__main__":

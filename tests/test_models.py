@@ -211,3 +211,92 @@ class TestPallasModelPath:
         np.testing.assert_allclose(np.asarray(out_p["mu"]),
                                    np.asarray(out_d["mu"]),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestComputeDtype:
+    """compute_dtype=bfloat16: bf16 activations/operands with f32
+    accumulation and f32 outputs — bounded divergence from the f32 path."""
+
+    def test_bf16_forward_close_to_f32(self, grid_mesh):
+        import jax
+        import jax.numpy as jnp
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+        from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+
+        hier = build_hierarchy(grid_mesh, [2, 2])
+        base = dict(num_features=3, filters=(8, 8, 16),
+                    polygon_order=(4, 4, 4), n_layers=2, num_hidden=32,
+                    latent=6, num_classes=2, dropout=0.2,
+                    coarse_verts=hier.levels[-1])
+        f32_model = MeshVAE(VAEConfig(**base))
+        bf16_model = MeshVAE(VAEConfig(**base, compute_dtype="bfloat16",
+                                       precision="default"))
+        ops32 = build_operators(hier)
+        ops16 = build_operators(hier, dtype=jnp.bfloat16)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, hier.levels[0], 3)),
+                        jnp.float32)
+        y = jnp.asarray(np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4)])
+        params = f32_model.init({"params": jax.random.key(0)}, x, y, ops32,
+                                train=False)
+
+        out32 = f32_model.apply(params, x, y, ops32, train=False)
+        out16 = bf16_model.apply(params, x, y, ops16, train=False)
+        # outputs are f32 regardless of compute dtype
+        assert out16["recon"].dtype == jnp.float32
+        assert out16["mu"].dtype == jnp.float32
+        r32, r16 = np.asarray(out32["recon"]), np.asarray(out16["recon"])
+        assert np.isfinite(r16).all()
+        scale = np.abs(r32).max()
+        assert np.abs(r16 - r32).max() < 0.05 * max(scale, 1.0), (
+            np.abs(r16 - r32).max(), scale)
+
+    def test_bf16_trains(self, grid_mesh):
+        import jax
+        import jax.numpy as jnp
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+        from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+        from meshvae_tpu.train.loop import Trainer
+
+        hier = build_hierarchy(grid_mesh, [2, 2])
+        config = {
+            "num_conv_filters": [8, 8, 16], "polygon_order": [4, 4, 4],
+            "n_layers": 2, "num_hidden": 32, "num_style": 6,
+            "num_classes": 2, "dropout": 0.2, "compute_dtype": "bfloat16",
+            "learning_rate": 1e-3, "weight_decay": 5e-4,
+        }
+        cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.precision == "default"  # auto-selected for bf16
+        model = MeshVAE(cfg)
+        ops = build_operators(hier, dtype=jnp.bfloat16)
+        trainer = Trainer(model, ops, config)
+        params = trainer.init_params(jax.random.key(0))
+        # master params stay f32
+        assert params["params"]["enc_lin"]["kernel"].dtype == jnp.float32
+        opt_state = trainer.init_opt_state(params)
+        rng = np.random.default_rng(1)
+        n0 = hier.levels[0]
+        batch = {
+            "x": jnp.asarray(rng.standard_normal((4, n0, 3)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 2, 4).astype(np.int32)),
+            "r": jnp.tile(jnp.eye(3, dtype=jnp.float32), (4, 1, 1)),
+            "s": jnp.ones(4, jnp.float32),
+            "m": jnp.zeros((4, 1, 3), jnp.float32),
+            "original": jnp.asarray(rng.standard_normal((4, n0, 3)),
+                                    jnp.float32),
+            "mask": jnp.ones(4, jnp.float32),
+        }
+        mean = jnp.zeros((n0, 3), jnp.float32)
+        std = jnp.ones((n0, 3), jnp.float32)
+        losses = []
+        for i in range(8):
+            params, opt_state, metrics = trainer._train_step(
+                params, opt_state, dict(batch), jax.random.fold_in(
+                    jax.random.key(2), i), mean, std)
+            losses.append(float(np.asarray(metrics)[0]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

@@ -119,7 +119,21 @@ class TestChebConvPallas:
 
 
 class TestChebConvFused:
+    """The fused kernel is RETIRED from the cheb_method surface (strictly
+    dominated — see ops/pallas_fused.py docstring); it stays correct so the
+    documented negative result remains executable."""
+
+    def test_not_a_config_method(self, big_graph):
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        x = jnp.zeros((2, op.n, 4), jnp.float32)
+        w = jnp.zeros((3, 4, 8), jnp.float32)
+        with pytest.raises(ValueError, match="retired"):
+            cheb_conv(x, op, w, None, method="pallas_fused")
+
     def test_matches_dense_forward(self, big_graph):
+        from meshvae_tpu.ops.pallas_fused import cheb_conv_fused
+
         mesh, adj = big_graph
         op = cheb_operator(adj)
         rng = np.random.default_rng(4)
@@ -129,12 +143,14 @@ class TestChebConvFused:
             bias = jnp.asarray((0.1 * rng.standard_normal(f_out)).astype(np.float32))
             ref = cheb_conv(x, op, w, bias, method="dense",
                             precision=jax.lax.Precision.HIGHEST)
-            got = cheb_conv(x, op, w, bias, method="pallas_fused")
+            got = cheb_conv_fused(x, op, w, bias)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=f"b={b} f={f_in}->{f_out} K={K}")
 
     def test_gradients_match_dense(self, big_graph):
+        from meshvae_tpu.ops.pallas_fused import cheb_conv_fused
+
         mesh, adj = big_graph
         op = cheb_operator(adj)
         rng = np.random.default_rng(5)
@@ -144,15 +160,16 @@ class TestChebConvFused:
         bias = jnp.asarray((0.1 * rng.standard_normal(f_out)).astype(np.float32))
         tgt = jnp.asarray(rng.standard_normal((b, op.n, f_out)).astype(np.float32))
 
-        def loss(method):
-            prec = jax.lax.Precision.HIGHEST if method == "dense" else None
-            def f(x_, w_, b_):
-                o = cheb_conv(x_, op, w_, b_, method=method, precision=prec)
-                return jnp.sum((o - tgt) ** 2)
-            return f
+        def dense_loss(x_, w_, b_):
+            o = cheb_conv(x_, op, w_, b_, method="dense",
+                          precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum((o - tgt) ** 2)
 
-        gd = jax.grad(loss("dense"), argnums=(0, 1, 2))(x, w, bias)
-        gf = jax.grad(loss("pallas_fused"), argnums=(0, 1, 2))(x, w, bias)
+        def fused_loss(x_, w_, b_):
+            return jnp.sum((cheb_conv_fused(x_, op, w_, b_) - tgt) ** 2)
+
+        gd = jax.grad(dense_loss, argnums=(0, 1, 2))(x, w, bias)
+        gf = jax.grad(fused_loss, argnums=(0, 1, 2))(x, w, bias)
         for a, c, name in zip(gd, gf, ("dx", "dw", "dbias")):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4,

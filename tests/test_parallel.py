@@ -112,3 +112,116 @@ class TestDataParallel:
         dense0 = sharded_ops.lap[0].dense
         spec = dense0.sharding.spec
         assert spec[0] == "sp" or dense0.shape[0] % 2 != 0
+
+
+class TestScannedPathsUnderMesh:
+    """The driver defaults to scan_epoch=True — the scanned epoch/eval paths
+    must be proven under sharding, not just the single step."""
+
+    def _loader(self, batch, steps=3):
+        rng = np.random.default_rng(7)
+        out = []
+        for s in range(steps):
+            b = dict(batch)
+            b["x"] = batch["x"] + 0.01 * s
+            b["label"] = rng.integers(0, 2, batch["label"].shape[0]).astype(
+                np.int32)
+            out.append(b)
+        return out
+
+    def test_train_epoch_scanned_dp_matches_single(self, setup):
+        model, ops, config, batch, mean, std = setup
+        loader = self._loader(batch)
+
+        def run(mesh):
+            trainer = Trainer(model, ops, config, mesh=mesh)
+            params = trainer.init_params(jax.random.key(0))
+            opt_state = trainer.init_opt_state(params)
+            params, opt_state, avg = trainer.train_epoch_scanned(
+                params, opt_state, list(loader), jax.random.key(1),
+                jnp.asarray(mean), jnp.asarray(std))
+            return params, avg
+
+        p1, avg1 = run(None)
+        p8, avg8 = run(make_device_mesh(dp=8))
+        assert avg8["loss"] == pytest.approx(avg1["loss"], rel=1e-4)
+        assert avg8["error"] == pytest.approx(avg1["error"], rel=1e-4)
+        assert avg8["count"] == avg1["count"]
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_train_epoch_scanned_dp_sp(self, setup):
+        model, ops, config, batch, mean, std = setup
+        loader = self._loader(batch)
+        trainer = Trainer(model, ops, config, mesh=make_device_mesh(dp=4, sp=2))
+        params = trainer.init_params(jax.random.key(0))
+        opt_state = trainer.init_opt_state(params)
+        params, opt_state, avg = trainer.train_epoch_scanned(
+            params, opt_state, loader, jax.random.key(1),
+            jnp.asarray(mean), jnp.asarray(std))
+        assert np.isfinite(avg["loss"])
+
+    def test_evaluate_scanned_dp_matches_single(self, setup):
+        model, ops, config, batch, mean, std = setup
+        loader = self._loader(batch)
+
+        def run(mesh):
+            trainer = Trainer(model, ops, config, mesh=mesh)
+            params = trainer.init_params(jax.random.key(0))
+            return trainer.evaluate_scanned(params, list(loader),
+                                            jnp.asarray(mean),
+                                            jnp.asarray(std))
+
+        avg1, err1 = run(None)
+        avg8, err8 = run(make_device_mesh(dp=8))
+        assert avg8["loss"] == pytest.approx(avg1["loss"], rel=1e-4)
+        assert avg8["accuracy"] == avg1["accuracy"]
+        assert avg8["sex_change_success_rate"] == avg1["sex_change_success_rate"]
+        np.testing.assert_allclose(err8, err1, rtol=1e-4, atol=1e-5)
+
+
+class TestMultihostInit:
+    """maybe_init_multihost plumbs config -> jax.distributed.initialize
+    (auto-detect when fields are unset, explicit otherwise)."""
+
+    def test_off_by_default(self, monkeypatch):
+        from meshvae_tpu.train.driver import maybe_init_multihost
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        maybe_init_multihost({"multihost": False})
+        assert calls == []
+
+    def test_auto_detect(self, monkeypatch):
+        from meshvae_tpu.train.driver import maybe_init_multihost
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        maybe_init_multihost({"multihost": True, "coordinator_address": "",
+                              "num_processes": 0, "process_id": -1})
+        assert calls == [{}]
+
+    def test_explicit(self, monkeypatch):
+        from meshvae_tpu.train.driver import maybe_init_multihost
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        maybe_init_multihost({"multihost": True,
+                              "coordinator_address": "10.0.0.1:1234",
+                              "num_processes": 4, "process_id": 2})
+        assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                          "num_processes": 4, "process_id": 2}]
+
+    def test_config_keys_parse(self, tmp_path):
+        from meshvae_tpu.config import read_config
+        cfg = tmp_path / "mh.cfg"
+        cfg.write_text("[Input Output]\nmultihost = true\n"
+                       "coordinator_address = host:9999\n"
+                       "num_processes = 8\nprocess_id = 3\n")
+        config = read_config(str(cfg))
+        assert config["multihost"] is True
+        assert config["coordinator_address"] == "host:9999"
+        assert config["num_processes"] == 8
+        assert config["process_id"] == 3
