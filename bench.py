@@ -220,7 +220,7 @@ def measure_crecon(hier, batch_size, steps, method, precision,
 def try_pallas_subprocess(args, polygon_order):
     """Run the pallas-path bench in a time-boxed subprocess (its remote
     kernel compile can take ~10 minutes; a timeout must not lose the dense
-    number). Returns meshes/sec or None."""
+    number). Returns (meshes/sec, final_loss) or (None, None)."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__),
@@ -234,14 +234,15 @@ def try_pallas_subprocess(args, polygon_order):
                               timeout=args.pallas_timeout)
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                return float(json.loads(line)["value"])
+                record = json.loads(line)
+                return float(record["value"]), record.get("loss")
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue
     except subprocess.TimeoutExpired:
         print("pallas bench timed out; reporting dense", file=sys.stderr)
     except Exception as exc:
         print(f"pallas bench failed: {exc}", file=sys.stderr)
-    return None
+    return None, None
 
 
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6,
@@ -369,10 +370,10 @@ def main():
         return
 
     method = args.method
-    pallas_result = None
+    pallas_result = pallas_loss = None
     if method == "auto":
         method = "dense"
-        pallas_result = try_pallas_subprocess(args, polygon_order)
+        pallas_result, pallas_loss = try_pallas_subprocess(args, polygon_order)
 
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
                                        args.warmup, method,
@@ -380,6 +381,21 @@ def main():
                                        polygon_order=polygon_order,
                                        scan=args.scan,
                                        compute_dtype=args.compute_dtype)
+
+    # compiled-path correctness check: dense and pallas ran the SAME batch /
+    # weights / rng for the same number of steps, so their final training
+    # losses must agree — this is the only place the COMPILED (non-interpret)
+    # pallas kernel is numerically cross-checked against the dense path
+    compiled_parity = None
+    if pallas_loss is not None and loss:
+        rel = abs(pallas_loss - loss) / max(abs(loss), 1e-9)
+        tol = 1e-2 if args.compute_dtype == "bfloat16" else 1e-4
+        compiled_parity = bool(rel < tol)
+        if not compiled_parity:
+            print(f"WARNING: compiled pallas loss {pallas_loss} deviates "
+                  f"from dense {loss} (rel {rel:.2e} > {tol})",
+                  file=sys.stderr)
+
     best_method = method
     if pallas_result is not None and pallas_result > meshes_per_sec:
         meshes_per_sec = pallas_result
@@ -407,7 +423,10 @@ def main():
         "value": round(meshes_per_sec, 2),
         "unit": "meshes/sec/chip",
         "vs_baseline": round(meshes_per_sec / baseline, 2) if baseline else None,
+        "loss": loss,
     }
+    if compiled_parity is not None:
+        result["compiled_pallas_matches_dense"] = compiled_parity
     print(json.dumps(result))
 
 

@@ -46,9 +46,14 @@ class GCNConfig:
     cheb_method: str = "dense"
     pool_method: str = "gather"
     precision: str | None = None
+    compute_dtype: str = "float32"
 
     @staticmethod
     def from_config(cfg: dict, coarse_verts: int, num_features: int = 6) -> "GCNConfig":
+        compute_dtype = str(cfg.get("compute_dtype", "float32") or "float32")
+        precision = cfg.get("matmul_precision")
+        if compute_dtype == "bfloat16" and not precision:
+            precision = "default"  # same rationale as VAEConfig.from_config
         return GCNConfig(
             num_features=num_features,
             filters=tuple(cfg["num_conv_filters"]),
@@ -58,8 +63,13 @@ class GCNConfig:
             coarse_verts=coarse_verts,
             cheb_method=str(cfg.get("cheb_method", "dense")),
             pool_method=str(cfg.get("pool_method", "gather")),
-            precision=cfg.get("matmul_precision"),
+            precision=precision,
+            compute_dtype=compute_dtype,
         )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 class ChebConvGlorot(nn.Module):
@@ -68,13 +78,15 @@ class ChebConvGlorot(nn.Module):
     k: int
     method: str = "dense"
     precision: str | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, op):
         weight = self.param("weight", _glorot_cheb_init,
                             (self.k, self.in_features, self.out_features))
         bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
-        return cheb_conv(x, op, weight, bias, method=self.method,
+        return cheb_conv(x.astype(self.dtype), op, weight.astype(self.dtype),
+                         bias.astype(self.dtype), method=self.method,
                          precision=self.precision)
 
 
@@ -85,7 +97,7 @@ class ChebGCN(nn.Module):
         c = self.cfg
         filters = (c.num_features,) + tuple(c.filters)
         self.filters = filters
-        kw = dict(method=c.cheb_method, precision=c.precision)
+        kw = dict(method=c.cheb_method, precision=c.precision, dtype=c.dtype)
         self.cheb = [
             ChebConvGlorot(filters[i], filters[i + 1], c.polygon_order[i], **kw,
                            name=f"cheb_{i}")
@@ -95,17 +107,20 @@ class ChebGCN(nn.Module):
         # the extended chain in the reference, cheb_cls.py:81)
         flat = c.coarse_verts * filters[-2]
         self.enc_lin = _dense(c.hidden, flat, kernel_init=_normal_init(0.1),
-                              name="enc_lin", precision=c.precision)
+                              name="enc_lin", precision=c.precision,
+                              dtype=c.dtype)
         self.cls_layer = _dense(c.num_classes, c.hidden,
                                 kernel_init=_normal_init(0.1), name="cls_layer",
-                                precision=c.precision)
+                                precision=c.precision, dtype=c.dtype)
 
     def __call__(self, x: jnp.ndarray, ops: ModelOperators) -> jnp.ndarray:
-        """x: [B, N, 2*F] difference features -> logits [B, C]."""
+        """x: [B, N, 2*F] difference features -> logits [B, C] (f32)."""
         c = self.cfg
+        x = x.astype(c.dtype)
         for i in range(c.n_layers):
             x = jax.nn.relu(self.cheb[i](x, ops.lap[i]))
             x = pool_apply(x, ops.down[i], method=c.pool_method,
                            precision=c.precision)
         x = x.reshape(x.shape[0], -1)
-        return self.cls_layer(jax.nn.relu(self.enc_lin(x)))
+        logits = self.cls_layer(jax.nn.relu(self.enc_lin(x)))
+        return logits.astype(jnp.float32)
