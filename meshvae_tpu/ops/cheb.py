@@ -69,11 +69,6 @@ def cheb_conv(
     method: str = _DEFAULT_METHOD,
     precision=None,
 ) -> jnp.ndarray:
-    if method == "pallas":
-        from .pallas_cheb import cheb_conv_pallas
-
-        return cheb_conv_pallas(x, op, weight, bias, precision=precision)
-
     if method == "pallas_fused":
         raise ValueError(
             "cheb_method=pallas_fused was retired: it is strictly dominated "
@@ -85,26 +80,30 @@ def cheb_conv(
     prec = resolve_precision(precision)
     dot = lambda t, w: jnp.einsum("bnf,fg->bng", t, w, precision=prec)
 
-    if method == "dense" and op.active_n < op.n and k > 1:
+    if op.active_n < op.n:
         # Operator rows/cols beyond active_n are empty (the embedded
-        # final-conv quirk): those vertices sit at eigenvalue 0, where the
-        # Chebyshev recurrence degenerates to T_k(0) = (1, 0, -1, 0, ...),
-        # i.e. a single matmul with sum_k T_k(0) W_k — so run the full
-        # recurrence on the active corner only and one matmul on the rest.
-        sub = GraphOperator(
-            dense=op.dense[: op.active_n, : op.active_n],
-            ell_idx=None if op.ell_idx is None else op.ell_idx[: op.active_n],
-            ell_w=None if op.ell_w is None else op.ell_w[: op.active_n],
-            bsr=op.bsr, n=op.active_n)
-        inner = cheb_conv(x[:, : op.active_n], sub, weight, bias,
-                          method="dense", precision=precision)
+        # final-conv quirk; the operand stores only the [active_n, active_n]
+        # corner — embed_operator): those vertices sit at eigenvalue 0,
+        # where the Chebyshev recurrence degenerates to T_k(0) =
+        # (1, 0, -1, 0, ...), i.e. a single matmul with sum_k T_k(0) W_k —
+        # so run the full recurrence (any method) on the active corner only
+        # and one matmul on the rest.
+        corner = GraphOperator(dense=op.dense, ell_idx=op.ell_idx,
+                               ell_w=op.ell_w, bsr=op.bsr, n=op.active_n)
+        inner = cheb_conv(x[:, : op.active_n], corner, weight, bias,
+                          method=method, precision=precision)
         coeffs = [1.0 if i % 4 == 0 else (-1.0 if i % 4 == 2 else 0.0)
                   for i in range(k)]
         w_eff = sum(c * weight[i] for i, c in enumerate(coeffs) if c != 0.0)
-        rest = dot(x[:, op.active_n:], w_eff)
+        rest = dot(x[:, op.active_n:], w_eff.astype(x.dtype))
         if bias is not None:
             rest = rest + bias
-        return jnp.concatenate([inner, rest], axis=1)
+        return jnp.concatenate([inner.astype(rest.dtype), rest], axis=1)
+
+    if method == "pallas":
+        from .pallas_cheb import cheb_conv_pallas
+
+        return cheb_conv_pallas(x, op, weight, bias, precision=precision)
 
     if method == "dense":
         prop = lambda t: propagate_dense(op, t, precision=precision)

@@ -144,21 +144,25 @@ def cheb_operator(adjacency: sp.spmatrix, dtype=jnp.float32,
 
 def embed_operator(op_coarse: sp.spmatrix, n_full: int, dtype=jnp.float32,
                    layouts=ALL_LAYOUTS) -> GraphOperator:
-    """Embed a coarse-level operator into the top-left corner of an [n_full,
-    n_full] operator.
+    """A coarse-level operator acting on the top-left corner of an
+    [n_full, n_full] index space.
 
     Reproduces the reference's final-decoder-conv quirk: the last ChebConv is
     fed the *coarsest* level's adjacency while operating on full-resolution
     features (/root/reference/models/cheb_VAE.py:288) — only vertex ids below
     the coarse vertex count receive neighbor terms; all others see the
     identity (W0) path only.
+
+    Storage is the CORNER only (layout arrays sized [active_n, ...]) with
+    n = n_full metadata: rows/columns >= active_n are empty, so
+    materializing them would be pure waste — the old full-size dense
+    embedding was [N, N] (1.6 GB at 20k vertices) for an operator with a
+    [79, 79] support. cheb_conv dispatches the recurrence on the corner and
+    a single closed-form matmul on the rest (see its active_n fast path).
     """
-    lap = normalized_neg_adjacency(op_coarse).tocoo()
-    full = sp.csr_matrix(
-        (lap.data, (lap.row, lap.col)), shape=(n_full, n_full)
-    )
-    return _operator_from_laplacian(full, layouts, dtype, n=n_full,
-                                    active_n=op_coarse.shape[0])
+    lap = normalized_neg_adjacency(op_coarse)
+    return _operator_from_laplacian(lap, layouts, dtype, n=n_full,
+                                    active_n=lap.shape[0])
 
 
 @jax.tree_util.register_dataclass

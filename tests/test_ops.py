@@ -156,30 +156,50 @@ class TestPool:
 
 class TestQuirkFastPath:
     def test_active_corner_fast_path_matches_full(self, grid_mesh):
-        """The dense fast path for embedded (quirk) operators equals the
-        plain full-size recurrence, including the alternating T_k(0)
-        behavior of the inactive rows."""
+        """The embedded (quirk) operator stores only the corner; every
+        method's fast path must equal the full-size recurrence over the
+        manually-embedded matrix, including the alternating T_k(0) behavior
+        of the inactive rows."""
         rng = np.random.default_rng(5)
         coarse_adj = vertex_adjacency(4, np.array([[0, 1, 2], [1, 3, 2]]))
         n_full = 12
         op = embed_operator(coarse_adj, n_full)
         assert op.active_n == 4
+        assert op.dense.shape == (4, 4)  # corner storage only
+        lap_full = np.zeros((n_full, n_full), dtype=np.float32)
+        lap_full[:4, :4] = normalized_neg_adjacency(coarse_adj).toarray()
         x = jnp.asarray(rng.standard_normal((2, n_full, 3)).astype(np.float32))
-        for K in (2, 3, 5, 6):
+        for K in (1, 2, 3, 5, 6):
             w = jnp.asarray(rng.standard_normal((K, 3, 4)).astype(np.float32))
             b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
-            fast = cheb_conv(x, op, w, b, method="dense",
-                             precision=jax.lax.Precision.HIGHEST)
-            # reference: same op with active_n forced to n (no fast path)
-            slow_op = type(op)(dense=op.dense, ell_idx=op.ell_idx,
-                               ell_w=op.ell_w, bsr=op.bsr, n=op.n)
-            slow = cheb_conv(x, slow_op, w, b, method="dense",
-                             precision=jax.lax.Precision.HIGHEST)
-            np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
-                                       rtol=1e-5, atol=1e-5)
-            ell = cheb_conv(x, slow_op, w, b, method="ell")
-            np.testing.assert_allclose(np.asarray(fast), np.asarray(ell),
-                                       rtol=1e-5, atol=1e-5)
+            expected = numpy_cheb(np.asarray(x), lap_full, np.asarray(w)) \
+                + np.asarray(b)
+            for method in ("dense", "ell"):
+                got = cheb_conv(x, op, w, b, method=method,
+                                precision=jax.lax.Precision.HIGHEST)
+                np.testing.assert_allclose(
+                    np.asarray(got), expected, rtol=1e-5, atol=1e-5,
+                    err_msg=f"K={K} method={method}")
+
+    def test_pallas_interpret_corner_path(self):
+        import meshvae_tpu.ops.pallas_cheb as pc
+
+        rng = np.random.default_rng(6)
+        coarse_adj = vertex_adjacency(4, np.array([[0, 1, 2], [1, 3, 2]]))
+        n_full = 12
+        op = embed_operator(coarse_adj, n_full)
+        lap_full = np.zeros((n_full, n_full), dtype=np.float32)
+        lap_full[:4, :4] = normalized_neg_adjacency(coarse_adj).toarray()
+        x = jnp.asarray(rng.standard_normal((2, n_full, 3)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((4, 3, 4)).astype(np.float32))
+        expected = numpy_cheb(np.asarray(x), lap_full, np.asarray(w))
+        pc.INTERPRET = True
+        try:
+            got = cheb_conv(x, op, w, None, method="pallas")
+        finally:
+            pc.INTERPRET = False
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4,
+                                   atol=1e-4)
 
 
 class TestLayoutSelection:
