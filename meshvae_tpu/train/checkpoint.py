@@ -35,8 +35,17 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
                    "val_loss": float(val_loss)}, fp)
 
 
+def _require(path: str) -> None:
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path} — train first "
+            "(python main.py -c <cfg> -t), or check the fold number (-n) "
+            "and the config's checkpoint_dir")
+
+
 def load_checkpoint(path: str, params_target: Any, opt_state_target: Any) -> dict:
     """Restore into the given target pytrees; returns the full payload dict."""
+    _require(path)
     target = {
         "params": params_target,
         "opt_state": opt_state_target,
@@ -55,6 +64,7 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str, params_target: Any) -> Any:
+    _require(path)
     with open(path, "rb") as fp:
         return serialization.from_bytes(params_target, fp.read())
 

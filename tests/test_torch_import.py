@@ -94,3 +94,61 @@ class TestImport:
         sd["enc_lin.weight"] = torch.randn(5, 7)
         with pytest.raises(ValueError, match="shape mismatch"):
             import_torch_vae_state(sd, params)
+
+
+class TestImportEndToEnd:
+    """The full migration story: weights trained against the REFERENCE's
+    hierarchy (hierarchy_mode=reference is bit-exact to the reference's
+    QSlim — test_hierarchy_golden) import into this framework and reproduce
+    the source model's eval outputs to <1e-4."""
+
+    def test_reference_hierarchy_checkpoint_reproduces_outputs(self):
+        from benchmarks.torch_cpu_baseline import TorchChebVAE
+        from parity_utils import torch_eval_forward
+
+        mesh = make_grid_mesh(10, jitter=0.05)
+        hier = build_hierarchy(mesh, [2, 2, 2, 2], mode="reference")
+        ops = build_operators(hier)
+
+        filters, K = [8, 8, 8, 16, 16], [4, 4, 4, 4, 4]
+        torch.manual_seed(3)
+        tmodel = TorchChebVAE(hier, filters=filters, K=K, num_hidden=32,
+                              latent=6, num_classes=2, dropout=0.2)
+        tmodel.eval()
+
+        # serialize the torch twin with the REFERENCE's parameter names
+        sd = {}
+        for i, (w, b) in enumerate(zip(tmodel.enc_w, tmodel.enc_b)):
+            sd[f"cheb.{i}.weight"] = w.detach()
+            sd[f"cheb.{i}.bias"] = b.detach()
+        for i, w in enumerate(tmodel.dec_w):
+            sd[f"cheb_dec.{i}.weight"] = w.detach()
+            if i < len(tmodel.dec_w) - 1:
+                sd[f"cheb_dec.{i}.bias"] = tmodel.dec_b[i].detach()
+        for lin in ("enc_lin", "dec_lin", "dec_lin_2", "classifier_layer",
+                    "z_mean", "z_log_var"):
+            sd[f"{lin}.weight"] = getattr(tmodel, lin).weight.detach()
+            sd[f"{lin}.bias"] = getattr(tmodel, lin).bias.detach()
+
+        cfg = VAEConfig(num_features=3, filters=tuple(filters),
+                        polygon_order=tuple(K), n_layers=4, num_hidden=32,
+                        latent=6, num_classes=2, dropout=0.2,
+                        coarse_verts=hier.levels[-1])
+        model = MeshVAE(cfg)
+        x0 = jnp.zeros((1, hier.levels[0], 3), jnp.float32)
+        y0 = jnp.zeros((1, 2), jnp.float32)
+        target = model.init({"params": jax.random.key(0)}, x0, y0, ops,
+                            train=False)
+        imported = import_torch_vae_state(sd, target)
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((4, hier.levels[0], 3)).astype(np.float32)
+        y = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4)]
+        t_recon, t_yhat, t_mu, _, _ = torch_eval_forward(tmodel, x, y)
+        out = model.apply(imported, jnp.asarray(x), jnp.asarray(y), ops,
+                          train=False)
+        np.testing.assert_allclose(np.asarray(out["mu"]), t_mu,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["y_hat"]), t_yhat,
+                                   rtol=1e-5, atol=1e-5)
+        assert np.abs(np.asarray(out["recon"]) - t_recon).max() < 1e-4
