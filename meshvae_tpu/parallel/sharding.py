@@ -17,15 +17,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
-                         process_id: int | None = None) -> None:
+                         process_id: int | None = None,
+                         cpu_collectives: str | None = None) -> None:
     """Initialize multi-host JAX (one process per host of a TPU slice /
     multi-slice deployment). After this, jax.devices() spans all hosts and
     make_device_mesh lays dp/sp over the global device set — intra-slice
     collectives ride ICI, inter-slice DCN, chosen by XLA from the mesh
     layout. On Cloud TPU the arguments are auto-detected from the
-    environment; pass them explicitly elsewhere."""
+    environment; pass them explicitly elsewhere.
+
+    cpu_collectives ("gloo" | "mpi") enables cross-process collectives on
+    the CPU backend — how tests/test_multihost.py simulates a multi-host
+    deployment without TPU hardware. Must be set before backend init."""
     import jax
 
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,
@@ -55,11 +63,41 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(value, sharding: NamedSharding):
+    """Commit a host array to a sharding, multi-process aware.
+
+    Single-process: plain device_put. Multi-process (after
+    initialize_multihost, where the mesh spans devices this process cannot
+    address): every process holds the same *global* value — deterministic
+    loaders guarantee this — and contributes only its addressable shards via
+    make_array_from_process_local_data(global_shape=value.shape)."""
+    if not hasattr(value, "ndim"):
+        return value
+    if jax.process_count() > 1:
+        value = np.asarray(value)
+        return jax.make_array_from_process_local_data(sharding, value,
+                                                      value.shape)
+    return jax.device_put(value, sharding)
+
+
+def fetch(value) -> np.ndarray:
+    """Pull a device array to a full host copy, multi-process aware: a
+    dp-sharded output spans non-addressable devices in multi-host runs, so
+    it is all-gathered across processes first (replicated outputs — the
+    packed metrics vectors — skip the collective)."""
+    sharding = getattr(value, "sharding", None)
+    if (jax.process_count() > 1 and sharding is not None
+            and not sharding.is_fully_replicated):
+        from jax.experimental import multihost_utils
+        value = multihost_utils.process_allgather(value, tiled=True)
+    return np.asarray(value)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put every array in the batch with its batch axis sharded over
     dp. Batch sizes must be divisible by the dp axis size."""
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: put_sharded(v, sharding) for k, v in batch.items()}
 
 
 def shard_operators(ops, mesh: Mesh):
@@ -86,12 +124,12 @@ def shard_operators(ops, mesh: Mesh):
             # rows divisible by sp is not guaranteed -> GSPMD handles uneven
             # shards only for equal blocks; replicate when it doesn't divide
             if leaf.shape[0] % mesh.shape["sp"] == 0:
-                return jax.device_put(leaf, row_sharded)
-            return jax.device_put(leaf, rep)
+                return put_sharded(leaf, row_sharded)
+            return put_sharded(leaf, rep)
         if name == "blocks" and leaf.ndim == 3:
             if leaf.shape[0] % mesh.shape["sp"] == 0:
-                return jax.device_put(leaf, row3)
-            return jax.device_put(leaf, rep)
-        return jax.device_put(leaf, rep)
+                return put_sharded(leaf, row3)
+            return put_sharded(leaf, rep)
+        return put_sharded(leaf, rep)
 
     return jax.tree_util.tree_map_with_path(place, ops)

@@ -27,7 +27,8 @@ import optax
 
 from ..mesh.procrustes import apply_inverse_similarity
 from ..models.losses import vae_loss
-from ..parallel.sharding import batch_sharding, replicated_sharding
+from ..parallel.sharding import (batch_sharding, fetch, put_sharded,
+                                 replicated_sharding)
 
 
 # order of the packed per-step metrics vector returned by the train step
@@ -106,7 +107,8 @@ class Trainer:
         the mesh; no-op on single device or already-placed arrays."""
         if self._replicated is None:
             return tree
-        return jax.device_put(tree, self._replicated)
+        return jax.tree_util.tree_map(
+            lambda leaf: put_sharded(leaf, self._replicated), tree)
 
     def _train_step(self, params, opt_state, batch, rng, norm_mean, norm_std):
         return self._train_step_fn(params, opt_state, batch, rng, norm_mean,
@@ -234,7 +236,7 @@ class Trainer:
         batch = {k: v for k, v in batch.items() if k != "index"}
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
-            return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+            return {k: put_sharded(np.asarray(v), sh) for k, v in batch.items()}
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train_epoch(self, params, opt_state, loader, rng, norm_mean, norm_std):
@@ -277,7 +279,7 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+            stacked = {k: put_sharded(v, sh) for k, v in stacked.items()}
         else:
             stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
 
@@ -289,7 +291,7 @@ class Trainer:
             params, opt_state, stacked, rng, norm_mean, norm_std,
             self._ops_on_device)
 
-        arr = np.asarray(packed, dtype=np.float64)  # [S, 6], ONE pull
+        arr = fetch(packed).astype(np.float64)      # [S, 6], ONE pull
         metrics = {k: arr[:, i] for i, k in enumerate(METRIC_NAMES)}
         counts = metrics["count"]
         total = float(counts.sum())
@@ -322,7 +324,7 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+            stacked = {k: put_sharded(v, sh) for k, v in stacked.items()}
         else:
             stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
         params = self.maybe_replicate(params)
@@ -330,8 +332,8 @@ class Trainer:
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         outs = self._eval_scan_fn(params, stacked, norm_mean, norm_std,
                                   self._ops_on_device)
-        sc = np.asarray(outs["scalars"], dtype=np.float64)     # [S, 6]
-        err = np.asarray(outs["errors"])                       # [S, B, N]
+        sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 6]
+        err = fetch(outs["errors"])                            # [S, B, N]
         counts = sc[:, 4]
         total = float(counts.sum())
         avg = {
@@ -360,7 +362,7 @@ class Trainer:
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         for batch in loader:
             out = self._eval_step(params, self._put(batch), norm_mean, norm_std)
-            sc = np.asarray(out["scalars"], dtype=np.float64)  # ONE pull
+            sc = fetch(out["scalars"]).astype(np.float64)      # ONE pull
             n = float(sc[4])
             for i, k in enumerate(("loss", "kld", "rec_loss")):
                 totals[k] += float(sc[i]) * n
@@ -368,12 +370,12 @@ class Trainer:
             sc_correct += float(sc[5])
             count += n
             keep = np.asarray(batch["mask"]) > 0
-            errors.append(np.asarray(out["errors"])[keep])
+            errors.append(fetch(out["errors"])[keep])
             if collect_meshes:
-                meshes["recon"].append(np.asarray(out["recon_orig"])[keep])
-                meshes["oppo"].append(np.asarray(out["oppo_orig"])[keep])
-                meshes["oppo_pred"].append(np.asarray(out["oppo_pred"])[keep])
-                meshes["oppo_label"].append(np.asarray(out["oppo_label"])[keep])
+                meshes["recon"].append(fetch(out["recon_orig"])[keep])
+                meshes["oppo"].append(fetch(out["oppo_orig"])[keep])
+                meshes["oppo_pred"].append(fetch(out["oppo_pred"])[keep])
+                meshes["oppo_label"].append(fetch(out["oppo_label"])[keep])
                 meshes["index"].append(np.asarray(batch["index"])[keep])
         avg = {k: v / max(count, 1.0) for k, v in totals.items()}
         avg["accuracy"] = correct / max(count, 1.0)
