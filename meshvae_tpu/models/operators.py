@@ -53,16 +53,23 @@ def build_operators(
     operator alone is ~1.6 GB that would otherwise be built on host, shipped
     through the ~50 MB/s relay, and parked in HBM unread.
     """
-    layouts = layouts_for_method(cheb_method)
-    lap = tuple(cheb_operator(a, dtype=dtype, layouts=layouts)
+    # layout choice is per level: cheb_method="pallas" builds BSR only at or
+    # above graph.PALLAS_MIN_N vertices and a (tiny) dense operator below —
+    # cheb_conv dispatches on which layout is present (hybrid dispatch)
+    lap = tuple(cheb_operator(a, dtype=dtype,
+                              layouts=layouts_for_method(cheb_method,
+                                                         n=a.shape[0]))
                 for a in hier.adjacency)
     down = tuple(pool_operator(d, dtype=dtype, pool_method=pool_method)
                  for d in hier.downsample)
     up = tuple(pool_operator(u, dtype=dtype, pool_method=pool_method)
                for u in hier.upsample)
     if final_conv_adjacency == "reference_quirk":
+        corner_n = hier.adjacency[-1].shape[0]
         lap_final = embed_operator(hier.adjacency[-1], hier.levels[0],
-                                   dtype=dtype, layouts=layouts)
+                                   dtype=dtype,
+                                   layouts=layouts_for_method(cheb_method,
+                                                              n=corner_n))
     elif final_conv_adjacency == "finest":
         lap_final = lap[0]
     else:

@@ -101,9 +101,16 @@ def cheb_conv(
         return jnp.concatenate([inner.astype(rest.dtype), rest], axis=1)
 
     if method == "pallas":
-        from .pallas_cheb import cheb_conv_pallas
+        if op.bsr is not None:
+            from .pallas_cheb import cheb_conv_pallas
 
-        return cheb_conv_pallas(x, op, weight, bias, precision=precision)
+            return cheb_conv_pallas(x, op, weight, bias, precision=precision)
+        # hybrid dispatch: levels below graph.PALLAS_MIN_N materialize a
+        # dense operator instead of BSR (build_operators/layouts_for_method)
+        # — the whole operator is tiny and XLA fuses the propagation into
+        # the recurrence, where a Pallas call would pay launch overhead and
+        # pad every level to 128 rows
+        method = "dense"
 
     if method == "dense":
         prop = lambda t: propagate_dense(op, t, precision=precision)

@@ -107,15 +107,31 @@ CHEB_METHOD_LAYOUTS = {
 }
 ALL_LAYOUTS = ("dense", "ell", "bsr")
 
+# Hybrid dispatch cutoff for cheb_method="pallas": below this vertex count a
+# level materializes a dense operator instead of BSR — the whole operator is
+# at most ~MIN_N^2 floats (tiny), XLA fuses the propagation into the
+# surrounding recurrence in one kernel, and the Pallas call's fixed overhead
+# (launch + padding every level to 128 rows) dominates any streaming savings.
+# One 5k/bs16 train step makes ~90 propagation dispatches; most are on the
+# coarse levels (1250/313/79/20 vertices) where this folds them into XLA.
+PALLAS_MIN_N = int(__import__("os").environ.get("MESHVAE_PALLAS_MIN_N",
+                                                "1024"))
 
-def layouts_for_method(cheb_method: str | None) -> tuple[str, ...]:
-    """None -> every layout (tests / method-switching callers)."""
+
+def layouts_for_method(cheb_method: str | None,
+                       n: int | None = None) -> tuple[str, ...]:
+    """None -> every layout (tests / method-switching callers). For
+    "pallas", n (the operator's active vertex count) selects the hybrid
+    layout: BSR at or above PALLAS_MIN_N, dense below."""
     if cheb_method is None:
         return ALL_LAYOUTS
     try:
-        return CHEB_METHOD_LAYOUTS[cheb_method]
+        layouts = CHEB_METHOD_LAYOUTS[cheb_method]
     except KeyError:
         raise ValueError(f"unknown cheb method: {cheb_method}") from None
+    if cheb_method == "pallas" and n is not None and n < PALLAS_MIN_N:
+        return ("dense",)
+    return layouts
 
 
 def _operator_from_laplacian(lap: sp.csr_matrix, layouts, dtype,

@@ -22,8 +22,11 @@ from .block_sparse import BLOCK, BlockSparseOperator
 
 _COL_PANEL = 128
 
-# Set True to run the kernel in the Pallas interpreter (CPU tests / debug).
-INTERPRET = False
+# Set True to run the kernel in the Pallas interpreter (CPU tests / debug);
+# MESHVAE_PALLAS_INTERPRET=1 sets it from the environment so the CLIs can
+# drive the pallas path end-to-end on the CPU backend.
+INTERPRET = bool(int(__import__("os").environ.get(
+    "MESHVAE_PALLAS_INTERPRET", "0")))
 
 
 def _make_spmm_kernel(precision):

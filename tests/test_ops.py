@@ -207,18 +207,34 @@ class TestLayoutSelection:
     materialized (at 20k vertices the unread dense operators are gigabytes)."""
 
     def test_trimmed_layouts_are_none(self, grid_mesh):
+        import meshvae_tpu.ops.graph as graph_mod
         from meshvae_tpu.mesh.hierarchy import build_hierarchy
         from meshvae_tpu.models.operators import build_operators
 
         hier = build_hierarchy(grid_mesh, [2, 2])
-        pallas_ops = build_operators(hier, cheb_method="pallas",
-                                     pool_method="gather")
+        # above the hybrid cutoff: pallas levels hold BSR only
+        saved = graph_mod.PALLAS_MIN_N
+        graph_mod.PALLAS_MIN_N = 0
+        try:
+            pallas_ops = build_operators(hier, cheb_method="pallas",
+                                         pool_method="gather")
+        finally:
+            graph_mod.PALLAS_MIN_N = saved
         assert pallas_ops.lap[0].dense is None
         assert pallas_ops.lap[0].ell_idx is None
         assert pallas_ops.lap[0].bsr is not None
         assert pallas_ops.lap_final.dense is None
         assert pallas_ops.up[0].dense is None
         assert pallas_ops.up[0].idx is not None
+
+        # below the cutoff (hybrid dispatch): a small level materializes a
+        # dense operator instead of BSR, and cheb_conv falls through to the
+        # fused XLA path for it
+        hybrid_ops = build_operators(hier, cheb_method="pallas",
+                                     pool_method="gather")
+        assert hybrid_ops.lap[0].bsr is None
+        assert hybrid_ops.lap[0].dense is not None
+        assert hybrid_ops.lap[0].ell_idx is None
 
         dense_ops = build_operators(hier, cheb_method="dense",
                                     pool_method="dense")
