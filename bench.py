@@ -81,17 +81,21 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
     key = jax.random.key(1)
 
     if scan:
-        # Whole measurement window in one device dispatch (epoch-scan path).
-        # NOTE: under the axon tunnel this measures the relay's ~50MB/s
-        # host->device bandwidth (the per-epoch data shipment), not the TPU;
-        # the per-step path below keeps data device-resident and is the
-        # headline kernel/training-step number.
-        loader = [dict(host_batch) for _ in range(steps)]
+        # Whole measurement window in one device dispatch (epoch-scan path)
+        # on a device-staged dataset: the batches upload ONCE outside the
+        # timed window and each epoch reshuffles on device — how the train
+        # driver actually runs (stage_batches), so this measures the real
+        # per-epoch cost rather than the relay's ~50MB/s host->device
+        # shipment.
+        staged = trainer.stage_batches([dict(host_batch)
+                                        for _ in range(steps)])
         params, opt_state, _ = trainer.train_epoch_scanned(
-            params, opt_state, loader, key, mean, std)  # compile + first pull
+            params, opt_state, staged, key, mean, std,
+            shuffle_key=jax.random.key(7))  # compile + first pull
         t0 = time.perf_counter()
         params, opt_state, avg = trainer.train_epoch_scanned(
-            params, opt_state, loader, key, mean, std)
+            params, opt_state, staged, key, mean, std,
+            shuffle_key=jax.random.key(8))
         dt = time.perf_counter() - t0
         return batch_size * steps / dt, float(avg["loss"])
 

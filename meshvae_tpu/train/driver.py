@@ -159,6 +159,13 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
             mean, std = train_ds.mean, train_ds.std
             best_loss = float("inf")
             epoch_rng = jax.random.key(seed * 1000 + n)
+            scan = bool(config.get("scan_epoch", True))
+            if scan:
+                # one upload per fold; epochs reshuffle on device instead of
+                # re-shipping batches through the host->device relay
+                staged_train = trainer.stage_batches(train_loader) or []
+                staged_valid = trainer.stage_batches(valid_loader) or []
+                shuffle_rng = jax.random.key(seed * 7919 + n)
 
             for epoch in range(start_epoch, total_epochs + 1):
                 begin = time.time()
@@ -166,16 +173,22 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                                   config["learning_rates_epochs"])
                 opt_state = set_learning_rate(opt_state, lr)
 
-                train_fn = (trainer.train_epoch_scanned
-                            if config.get("scan_epoch", True)
-                            else trainer.train_epoch)
                 with maybe_profile(config.get("profile_dir"), epoch):
-                    params, opt_state, train_avg = train_fn(
-                        params, opt_state, train_loader,
-                        jax.random.fold_in(epoch_rng, epoch), mean, std)
-                if config.get("scan_epoch", True):
+                    if scan:
+                        params, opt_state, train_avg = (
+                            trainer.train_epoch_scanned(
+                                params, opt_state, staged_train,
+                                jax.random.fold_in(epoch_rng, epoch), mean,
+                                std,
+                                shuffle_key=jax.random.fold_in(shuffle_rng,
+                                                               epoch)))
+                    else:
+                        params, opt_state, train_avg = trainer.train_epoch(
+                            params, opt_state, train_loader,
+                            jax.random.fold_in(epoch_rng, epoch), mean, std)
+                if scan:
                     valid_avg, errors = trainer.evaluate_scanned(
-                        params, valid_loader, mean, std)
+                        params, staged_valid, mean, std)
                 else:
                     valid_avg, errors = trainer.evaluate(params, valid_loader,
                                                          mean, std)

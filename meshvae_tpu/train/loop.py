@@ -212,12 +212,26 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def _train_scan_impl(self, params, opt_state, batches, rng, norm_mean,
-                         norm_std, ops):
+    def _reshuffle(self, batches, perm):
+        """Re-draw the epoch's batch composition on device: flatten the
+        [S, B] sample grid, gather by perm, restack. Padding samples
+        (mask 0) ride along wherever they land."""
+        steps, bs = batches["mask"].shape[:2]
+
+        def gather(a):
+            flat = a.reshape((steps * bs,) + a.shape[2:])
+            return jnp.take(flat, perm, axis=0).reshape(
+                (steps, bs) + a.shape[2:])
+
+        return {k: gather(v) for k, v in batches.items()}
+
+    def _train_scan_impl(self, params, opt_state, batches, perm, rng,
+                         norm_mean, norm_std, ops):
         """A whole epoch (stacked batches [S, B, ...]) in one dispatch via
         lax.scan — eliminates per-step host->device dispatch latency, which
         dominates at small batch sizes."""
         steps = batches["mask"].shape[0]
+        batches = self._reshuffle(batches, perm)
 
         def body(carry, inp):
             params, opt_state = carry
@@ -264,31 +278,51 @@ class Trainer:
         avg["count"] = count
         return params, opt_state, avg
 
-    def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
-                            norm_std):
-        """train_epoch with the whole epoch in ONE device dispatch
-        (lax.scan over stacked batches). Identical math and metrics; one
-        recompile per distinct number-of-batches."""
+    def stage_batches(self, loader):
+        """Upload a whole epoch of batches ONCE as stacked [S, B, ...]
+        device arrays (None for an empty loader). Pass the result to
+        train_epoch_scanned / evaluate_scanned in place of the loader:
+        subsequent epochs reshuffle ON DEVICE (shuffle_key) instead of
+        re-shipping the data — host->device moves ~50 MB/s through the TPU
+        relay here, so per-epoch shipment dominates real training runs."""
         keys = ("x", "label", "r", "s", "m", "original", "mask")
         batch_list = list(loader)
         if not batch_list:
-            return params, opt_state, {"loss": 0.0, "kld": 0.0,
-                                       "rec_loss": 0.0, "error": 0.0,
-                                       "accuracy": 0.0, "count": 0.0}
+            return None
         stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            stacked = {k: put_sharded(v, sh) for k, v in stacked.items()}
+            return {k: put_sharded(v, sh) for k, v in stacked.items()}
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+    def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
+                            norm_std, shuffle_key=None):
+        """train_epoch with the whole epoch in ONE device dispatch
+        (lax.scan over stacked batches). Identical math and metrics; one
+        recompile per distinct number-of-batches. `loader` is either a
+        host batch iterable or the device-staged dict from stage_batches;
+        shuffle_key (optional) re-draws the batch composition on device."""
+        if isinstance(loader, dict):
+            stacked = loader
         else:
-            stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+            stacked = self.stage_batches(loader)
+        if stacked is None:
+            return params, opt_state, {"loss": 0.0, "kld": 0.0,
+                                       "rec_loss": 0.0, "error": 0.0,
+                                       "accuracy": 0.0, "count": 0.0}
+        n_samples = int(np.prod(stacked["mask"].shape[:2]))
+        if shuffle_key is not None:
+            perm = jax.random.permutation(shuffle_key, n_samples)
+        else:
+            perm = jnp.arange(n_samples)
 
         params = self.maybe_replicate(params)
         opt_state = self.maybe_replicate(opt_state)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         params, opt_state, packed = self._train_scan_fn(
-            params, opt_state, stacked, rng, norm_mean, norm_std,
+            params, opt_state, stacked, perm, rng, norm_mean, norm_std,
             self._ops_on_device)
 
         arr = fetch(packed).astype(np.float64)      # [S, 6], ONE pull
@@ -313,20 +347,16 @@ class Trainer:
 
     def evaluate_scanned(self, params, loader, norm_mean, norm_std):
         """evaluate() without mesh collection, as one device dispatch +
-        two device->host pulls (scalars [S, 6], errors [S, B, N])."""
-        keys = ("x", "label", "r", "s", "m", "original", "mask")
-        batch_list = list(loader)
-        if not batch_list:
+        two device->host pulls (scalars [S, 6], errors [S, B, N]).
+        `loader` is a host batch iterable or a stage_batches dict."""
+        if isinstance(loader, dict):
+            stacked = loader
+        else:
+            stacked = self.stage_batches(loader)
+        if stacked is None:
             return ({"loss": 0.0, "kld": 0.0, "rec_loss": 0.0,
                      "accuracy": 0.0, "sex_change_success_rate": 0.0,
                      "count": 0.0}, np.zeros((0, 1)))
-        stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(self.mesh, P(None, "dp"))
-            stacked = {k: put_sharded(v, sh) for k, v in stacked.items()}
-        else:
-            stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
         params = self.maybe_replicate(params)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
@@ -344,7 +374,7 @@ class Trainer:
             "sex_change_success_rate": float(sc[:, 5].sum()) / max(total, 1.0),
             "count": total,
         }
-        mask = np.stack([b["mask"] for b in batch_list]) > 0   # [S, B]
+        mask = fetch(stacked["mask"]) > 0                      # [S, B]
         errors = err[mask]                                     # [valid, N]
         return avg, errors
 

@@ -262,3 +262,51 @@ class TestScanPaths:
                         jax.tree_util.tree_leaves(p_scan)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_staged_epoch_matches_loader_epoch(self, tiny_env):
+        """stage_batches + identity shuffle reproduces the loader-fed
+        scanned epoch exactly (the dataset uploads once per fold and later
+        epochs reshuffle on device); a shuffle_key permutes the batch
+        composition but preserves the sample population (count/metrics
+        stay a weighted average over the same meshes)."""
+        config, template, root = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, _ = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:10], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        loader = BatchIterator(ds, batch_size=4)  # 3 batches, last padded
+        rng = jax.random.key(7)
+
+        p0 = trainer.init_params(jax.random.key(0))
+        o0 = trainer.init_opt_state(p0)
+        p_ref, _, avg_ref = trainer.train_epoch_scanned(p0, o0, loader, rng,
+                                                        ds.mean, ds.std)
+        staged = trainer.stage_batches(loader)
+        p1 = trainer.init_params(jax.random.key(0))
+        o1 = trainer.init_opt_state(p1)
+        p_staged, _, avg_staged = trainer.train_epoch_scanned(
+            p1, o1, staged, rng, ds.mean, ds.std)
+        assert avg_staged["loss"] == pytest.approx(avg_ref["loss"], rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_staged)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+        # staged eval matches loader eval bit-for-bit too
+        avg_e1, err_e1 = trainer.evaluate_scanned(p_staged, loader, ds.mean,
+                                                  ds.std)
+        avg_e2, err_e2 = trainer.evaluate_scanned(p_staged, staged, ds.mean,
+                                                  ds.std)
+        assert avg_e2["loss"] == pytest.approx(avg_e1["loss"], rel=1e-6)
+        np.testing.assert_allclose(err_e2, err_e1, rtol=1e-6, atol=1e-7)
+
+        # shuffled: same sample population, different composition
+        p2 = trainer.init_params(jax.random.key(0))
+        o2 = trainer.init_opt_state(p2)
+        _, _, avg_shuf = trainer.train_epoch_scanned(
+            p2, o2, staged, rng, ds.mean, ds.std,
+            shuffle_key=jax.random.key(3))
+        assert avg_shuf["count"] == avg_ref["count"]
+        assert np.isfinite(avg_shuf["loss"])
