@@ -102,8 +102,17 @@ class CreconTrainer:
         correct = jnp.sum((pred == batch["label"]) * batch["mask"])
         return jnp.stack([loss, correct, batch["mask"].sum()])
 
-    def _train_scan_impl(self, params, opt_state, vae_params, batches, ops):
-        """Whole epoch (stacked batches [S, B, ...]) in one device dispatch."""
+    def _train_scan_impl(self, params, opt_state, vae_params, batches, perm,
+                         ops):
+        """Whole epoch (stacked batches [S, B, ...]) in one device dispatch;
+        perm re-draws the batch composition on device (staged datasets)."""
+        steps, bs = batches["mask"].shape[:2]
+        batches = {
+            k: jnp.take(v.reshape((steps * bs,) + v.shape[2:]), perm,
+                        axis=0).reshape((steps, bs) + v.shape[2:])
+            for k, v in batches.items()
+        }
+
         def body(carry, batch):
             params, opt_state = carry
             params, opt_state, m = self._train_step_impl(
@@ -131,17 +140,32 @@ class CreconTrainer:
         acc = float(per_step[:, 1].sum()) / max(count, 1.0)
         return avg_loss, acc
 
-    def run_epoch(self, params, opt_state, vae_params, loader, train: bool):
+    def stage_batches(self, loader):
+        """Upload a whole epoch of batches once as stacked [S, B, ...]
+        device arrays (None when empty); run_epoch takes the result in
+        place of a loader so later epochs skip the host->device shipment."""
+        keys = ("x", "label", "mask")
+        batch_list = list(loader)
+        if not batch_list:
+            return None
+        return {k: jnp.asarray(np.stack([b[k] for b in batch_list]))
+                for k in keys}
+
+    def run_epoch(self, params, opt_state, vae_params, loader, train: bool,
+                  shuffle_key=None):
         keys = ("x", "label", "mask")
         if self.scan_epoch:
-            batch_list = list(loader)
-            if not batch_list:
+            stacked = (loader if isinstance(loader, dict)
+                       else self.stage_batches(loader))
+            if stacked is None:
                 return params, opt_state, 0.0, 0.0
-            stacked = {k: jnp.asarray(np.stack([b[k] for b in batch_list]))
-                       for k in keys}
             if train:
+                n_samples = int(np.prod(stacked["mask"].shape[:2]))
+                perm = (jax.random.permutation(shuffle_key, n_samples)
+                        if shuffle_key is not None
+                        else jnp.arange(n_samples))
                 params, opt_state, m = self._train_scan(
-                    params, opt_state, vae_params, stacked, self.ops)
+                    params, opt_state, vae_params, stacked, perm, self.ops)
             else:
                 m = self._eval_scan(params, vae_params, stacked, self.ops)
             avg_loss, acc = self._averages(np.asarray(m, np.float64))  # 1 pull
@@ -223,11 +247,19 @@ def run(config: dict, do_train: bool, do_test: bool):
             train_loader = BatchIterator(train_ds, batch_size, shuffle=True,
                                          seed=seed + n)
             valid_loader = BatchIterator(valid_ds, batch_size, shuffle=False)
+            if trainer.scan_epoch:
+                # one upload per fold (diff features derive on device from
+                # the frozen VAE each step; only x/label/mask ship)
+                train_loader = trainer.stage_batches(train_loader) or []
+                valid_loader = trainer.stage_batches(valid_loader) or []
 
             best_val_acc = 0.0
+            shuffle_rng = jax.random.key(seed * 7919 + n)
             for epoch in range(1, total_epochs + 1):
                 params, opt_state, tr_loss, tr_acc = trainer.run_epoch(
-                    params, opt_state, vae_params, train_loader, train=True)
+                    params, opt_state, vae_params, train_loader, train=True,
+                    shuffle_key=(jax.random.fold_in(shuffle_rng, epoch)
+                                 if trainer.scan_epoch else None))
                 _, _, va_loss, va_acc = trainer.run_epoch(
                     params, opt_state, vae_params, valid_loader, train=False)
                 if va_acc >= best_val_acc:
