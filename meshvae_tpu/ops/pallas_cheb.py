@@ -56,6 +56,10 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     from .cheb import resolve_precision
 
     precision = resolve_precision(precision)
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic's in-kernel dot supports only DEFAULT/HIGHEST; round HIGH
+        # up — the mix matmuls outside the kernel still run at HIGH
+        precision = jax.lax.Precision.HIGHEST
     n_pad, c = x2d.shape
     assert n_pad == bsr.n_pad, (n_pad, bsr.n_pad)
     assert c % _COL_PANEL == 0, c

@@ -1,6 +1,14 @@
 from .sharding import (
-    make_device_mesh, batch_sharding, replicated_sharding, shard_batch,
+    batch_sharding,
+    fetch,
+    initialize_multihost,
+    make_device_mesh,
+    put_sharded,
+    replicated_sharding,
+    shard_batch,
+    shard_operators,
 )
 
-__all__ = ["make_device_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch"]
+__all__ = ["batch_sharding", "fetch", "initialize_multihost",
+           "make_device_mesh", "put_sharded", "replicated_sharding",
+           "shard_batch", "shard_operators"]
