@@ -75,6 +75,7 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "scan_epoch": (_bool, True),         # whole epoch in one device dispatch
     "hierarchy_cache_dir": (str, ""),
     "profile_dir": (str, ""),            # jax.profiler trace output ("" = off)
+    "halt_on_nonfinite": (_bool, True),  # stop on NaN/inf loss (driver)
 }
 
 

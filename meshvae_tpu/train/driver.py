@@ -195,6 +195,24 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                 mean_val_error = float(errors.mean()) if errors.size else 0.0
                 duration = time.time() - begin
 
+                if not (np.isfinite(train_avg["loss"])
+                        and np.isfinite(valid_avg["loss"])):
+                    # failure detection (SURVEY.md §5.3: the reference has
+                    # none — a NaN silently poisons every later epoch and
+                    # checkpoint): halt with a pointer to the last good
+                    # checkpoint, which `checkpoint_file` resumes from
+                    msg = (f"non-finite loss at fold {n} epoch {epoch} "
+                           f"(train {train_avg['loss']}, "
+                           f"val {valid_avg['loss']})")
+                    log.print(msg)
+                    write_history(checkpoint_dir, n, history)
+                    if config.get("halt_on_nonfinite", True):
+                        raise RuntimeError(
+                            msg + "; best checkpoint so far: "
+                            + checkpoint_path(checkpoint_dir, n)
+                            + " (set halt_on_nonfinite = False to keep "
+                              "training through it)")
+
                 if valid_avg["loss"] <= best_loss:
                     # unlike the reference (which stores the fold number in
                     # epoch_num, main.py:279), store the real epoch so

@@ -147,6 +147,29 @@ class TestEndToEnd:
         # vis artifacts exist
         assert os.path.isdir(os.path.join(ckpt_dir, "mesh1"))
 
+    def test_halts_on_nonfinite_loss(self, tiny_env, tmp_path):
+        """Failure detection (SURVEY.md §5.3: the reference has none): an
+        exploding run halts with a pointer to the last good checkpoint
+        instead of silently poisoning every later epoch."""
+        config, template, root = tiny_env
+        cfg = dict(config)
+        cfg.update({
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "log_file": str(tmp_path / "ckpt" / "log.txt"),
+            "learning_rate": 1e18,  # guaranteed blow-up
+            "learning_rates": [1e18],
+            "learning_rates_epochs": [0],
+            "epoch": 4,
+            "folds": 2,
+        })
+        with pytest.raises(RuntimeError, match="non-finite loss"):
+            run(cfg, do_train=True, do_test=False)
+
+        cfg["halt_on_nonfinite"] = False  # opt-out trains through it
+        cfg["checkpoint_dir"] = str(tmp_path / "ckpt2")
+        cfg["log_file"] = str(tmp_path / "ckpt2" / "log.txt")
+        run(cfg, do_train=True, do_test=False)
+
     def test_overfits_single_batch(self, tiny_env):
         """Optimization sanity: 40 Adam steps on one batch reduce the loss."""
         config, template, root = tiny_env
