@@ -119,15 +119,19 @@ def cheb_conv(
     else:
         raise ValueError(f"unknown cheb method: {method}")
 
-    tx0 = x
-    out = dot(tx0, weight[0])
+    # run the recurrence, then mix every order in ONE matmul: concatenating
+    # the T_k along features turns K narrow [.., F]@[F, F_out] dots into a
+    # single [.., K*F]@[K*F, F_out] — a wider contraction the MXU likes, and
+    # one dW matmul instead of K in the backward pass
+    txs = [x]
     if k > 1:
-        tx1 = prop(x)
-        out = out + dot(tx1, weight[1])
-    for i in range(2, k):
-        tx2 = 2.0 * prop(tx1) - tx0
-        out = out + dot(tx2, weight[i])
-        tx0, tx1 = tx1, tx2
+        txs.append(prop(x))
+    for _ in range(2, k):
+        txs.append(2.0 * prop(txs[-1]) - txs[-2])
+
+    f_in = x.shape[-1]
+    out = dot(jnp.concatenate(txs, axis=-1),
+              weight.reshape(k * f_in, weight.shape[-1]))
 
     if bias is not None:
         out = out + bias

@@ -94,6 +94,10 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            # column panels are independent; the block dim accumulates into
+            # revisited output row-blocks and must stay sequential
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=INTERPRET,
     )(bsr.block_row, bsr.block_col, bsr.first, bsr.blocks, x2d)
 
@@ -155,20 +159,19 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     prop = lambda t: bsr_matmul(
         bsr, t.astype(op_dtype).reshape(n_pad, b * f_pad),
         precision=prec).reshape(n_pad, b, f_pad)
-    mix = lambda t, wk: jax.lax.dot_general(
-        t, wk, (((2,), (0,)), ((), ())),
+
+    # recurrence first, then ONE wide channel mix over all K orders
+    # (concat along features: [N, B, K*F] @ [K*F, F_out] — see cheb.py)
+    txs = [xt]
+    if k > 1:
+        txs.append(prop(xt))
+    for _ in range(2, k):
+        txs.append(2.0 * prop(txs[-1]) - txs[-2])
+    out = jax.lax.dot_general(
+        jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
+        (((2,), (0,)), ((), ())),
         precision=prec,
         preferred_element_type=jnp.float32)  # [N, B, F_out]
-
-    tx0 = xt
-    out = mix(tx0, w[0])
-    if k > 1:
-        tx1 = prop(xt)
-        out = out + mix(tx1, w[1])
-    for i in range(2, k):
-        tx2 = 2.0 * prop(tx1) - tx0
-        out = out + mix(tx2, w[i])
-        tx0, tx1 = tx1, tx2
 
     out = out[:n]                      # drop row padding
     out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]
