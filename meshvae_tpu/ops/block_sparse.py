@@ -27,6 +27,8 @@ class BlockSparseOperator:
 
     `first` marks the first block of each block-row (output accumulator
     reset); `n` is the true (unpadded) dimension, `n_pad` the padded one.
+    Rectangular operators (a row shard of a square operator: output rows
+    local, input columns global) carry n_pad_cols > n_pad.
     """
 
     blocks: jnp.ndarray      # [nb, BLOCK, BLOCK] float32
@@ -35,6 +37,12 @@ class BlockSparseOperator:
     first: jnp.ndarray       # [nb] int32 (1 = first block of its row)
     n: int = dataclasses.field(metadata=dict(static=True))
     n_pad: int = dataclasses.field(metadata=dict(static=True))
+    n_pad_cols: int = dataclasses.field(default=-1,
+                                        metadata=dict(static=True))
+
+    def __post_init__(self):
+        if self.n_pad_cols < 0:
+            object.__setattr__(self, "n_pad_cols", self.n_pad)
 
     @property
     def num_blocks(self) -> int:

@@ -89,7 +89,8 @@ def cheb_conv(
         # so run the full recurrence (any method) on the active corner only
         # and one matmul on the rest.
         corner = GraphOperator(dense=op.dense, ell_idx=op.ell_idx,
-                               ell_w=op.ell_w, bsr=op.bsr, n=op.active_n)
+                               ell_w=op.ell_w, bsr=op.bsr, n=op.active_n,
+                               bsr_sp=op.bsr_sp, mesh=op.mesh)
         inner = cheb_conv(x[:, : op.active_n], corner, weight, bias,
                           method=method, precision=precision)
         coeffs = [1.0 if i % 4 == 0 else (-1.0 if i % 4 == 2 else 0.0)
@@ -101,6 +102,11 @@ def cheb_conv(
         return jnp.concatenate([inner.astype(rest.dtype), rest], axis=1)
 
     if method == "pallas":
+        if op.bsr_sp is not None:
+            from .pallas_shard import cheb_conv_pallas_sharded
+
+            return cheb_conv_pallas_sharded(x, op, weight, bias,
+                                            precision=precision)
         if op.bsr is not None:
             from .pallas_cheb import cheb_conv_pallas
 

@@ -70,6 +70,13 @@ class GraphOperator:
     # Equals n for ordinary operators; the embedded final-conv quirk
     # operator has active_n = coarse vertex count.
     active_n: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # vertex-sharded kernel operands (built by shard_operators under an
+    # sp > 1 mesh, replacing bsr; see ops/pallas_shard.py). `mesh` is the
+    # jax.sharding.Mesh the shards live on — static metadata so cheb_conv
+    # can shard_map over it at trace time.
+    bsr_sp: "object | None" = None
+    mesh: "object | None" = dataclasses.field(default=None,
+                                              metadata=dict(static=True))
 
     def __post_init__(self):
         if self.active_n < 0:

@@ -29,25 +29,44 @@ INTERPRET = bool(int(__import__("os").environ.get(
     "MESHVAE_PALLAS_INTERPRET", "0")))
 
 
+def _accumulate(first_ref, o_ref, contrib):
+    b = pl.program_id(1)
+
+    @pl.when(first_ref[b] == 1)
+    def _():
+        o_ref[:] = contrib
+
+    @pl.when(first_ref[b] == 0)
+    def _():
+        o_ref[:] = o_ref[:] + contrib
+
+
 def _make_spmm_kernel(precision):
     def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
-        b = pl.program_id(1)
         # HIGHEST keeps the MXU in true-f32 mode (default truncates to
         # bf16, which breaks the <1e-4 parity budget); DEFAULT is the
         # opt-in bf16 speed mode.
         contrib = jnp.dot(l_ref[0], x_ref[:],
                           preferred_element_type=jnp.float32,
                           precision=precision)
-
-        @pl.when(first_ref[b] == 1)
-        def _():
-            o_ref[:] = contrib
-
-        @pl.when(first_ref[b] == 0)
-        def _():
-            o_ref[:] = o_ref[:] + contrib
+        _accumulate(first_ref, o_ref, contrib)
 
     return _spmm_kernel
+
+
+def _spmm_kernel_bf16x3(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref,
+                        xh_ref, xl_ref, o_ref):
+    """bf16x3 ("HIGH"): both operands arrive pre-split into a bf16 hi part
+    and a bf16 residual (same total bytes as f32); the three leading cross
+    products with f32 accumulation give ~1e-5 relative error — inside the
+    <1e-4 parity budget — at 3 MXU passes instead of HIGHEST's 6. Mosaic's
+    dot knows only DEFAULT/HIGHEST, so the scheme is explicit; splitting
+    happens once per operand OUTSIDE the kernel (the L split is static and
+    CSE'd per step; an in-kernel split would recompute per block)."""
+    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+    contrib = (dot(lh_ref[0], xh_ref[:])
+               + (dot(lh_ref[0], xl_ref[:]) + dot(ll_ref[0], xh_ref[:])))
+    _accumulate(first_ref, o_ref, contrib)
 
 
 def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
@@ -56,12 +75,11 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     from .cheb import resolve_precision
 
     precision = resolve_precision(precision)
-    if precision == jax.lax.Precision.HIGH:
-        # Mosaic's in-kernel dot supports only DEFAULT/HIGHEST; round HIGH
-        # up — the mix matmuls outside the kernel still run at HIGH
-        precision = jax.lax.Precision.HIGHEST
-    n_pad, c = x2d.shape
-    assert n_pad == bsr.n_pad, (n_pad, bsr.n_pad)
+    rows_x, c = x2d.shape
+    # rectangular operators (row shards, pallas_shard.py): output rows are
+    # local (bsr.n_pad), input rows global (bsr.n_pad_cols)
+    assert rows_x == bsr.n_pad_cols, (rows_x, bsr.n_pad_cols)
+    n_pad = bsr.n_pad
     assert c % _COL_PANEL == 0, c
     # widest panel (<= 1024 lanes) dividing C: the L blocks are re-streamed
     # once per panel, so wide panels cut operator traffic proportionally
@@ -71,24 +89,39 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     panels = c // panel
     nb = bsr.num_blocks
 
+    block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
+                                      lambda j, b, br, bc, fr: (b, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    x_spec = lambda: pl.BlockSpec((BLOCK, panel),
+                                  lambda j, b, br, bc, fr: (bc[b], j),
+                                  memory_space=pltpu.VMEM)
+    high = precision == jax.lax.Precision.HIGH
+    if high:
+        kernel = _spmm_kernel_bf16x3
+        lh = bsr.blocks.astype(jnp.bfloat16)
+        ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh = x2d.astype(jnp.bfloat16)
+        xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        operands = (lh, ll, xh, xl)
+        in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
+        flops = 3 * 2 * nb * BLOCK * BLOCK * c
+    else:
+        kernel = _make_spmm_kernel(precision)
+        operands = (bsr.blocks, x2d)
+        in_specs = [block_spec(), x_spec()]
+        flops = 2 * nb * BLOCK * BLOCK * c
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(panels, nb),
-        in_specs=[
-            pl.BlockSpec((1, BLOCK, BLOCK), lambda j, b, br, bc, fr: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, panel),
-                         lambda j, b, br, bc, fr: (bc[b], j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BLOCK, panel),
                                lambda j, b, br, bc, fr: (br[b], j),
                                memory_space=pltpu.VMEM),
     )
-    flops = 2 * nb * BLOCK * BLOCK * c
     bytes_accessed = nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4
     return pl.pallas_call(
-        _make_spmm_kernel(precision),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops,
@@ -99,7 +132,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
             # revisited output row-blocks and must stay sequential
             dimension_semantics=("parallel", "arbitrary")),
         interpret=INTERPRET,
-    )(bsr.block_row, bsr.block_col, bsr.first, bsr.blocks, x2d)
+    )(bsr.block_row, bsr.block_col, bsr.first, *operands)
 
 
 def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray,

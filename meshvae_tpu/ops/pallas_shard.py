@@ -1,0 +1,213 @@
+"""Vertex-sharded ("sp") Pallas SpMM: the distributed form of the Chebyshev
+propagation kernel.
+
+SURVEY.md §2c (SP row) calls for the Pallas kernel's operator row-blocks to
+be distributable across devices — the graph analog of sequence parallelism.
+This module delivers it: the 128-block CSR operator is repartitioned on host
+into per-device row shards (`shard_block_sparse`), and `bsr_matmul_sharded`
+runs the SpMM under `jax.shard_map` — each device all-gathers the (much
+smaller) activation rows over the "sp" axis of the ICI mesh, multiplies its
+own block rows with the single-chip kernel, and keeps its output rows local.
+Batch columns stay sharded over "dp" throughout (the all-gather moves only
+the sp axis), so dp x sp meshes compose.
+
+The operator is globally symmetric (L = -D^{-1/2} A D^{-1/2}), so the
+custom VJP is the same sharded product applied to the cotangent — autodiff
+never differentiates through the shard_map body or the kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .block_sparse import BLOCK, BlockSparseOperator
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedBlockSparse:
+    """Row-sharded BSR: shard s owns global block-rows
+    [s*rows_per_shard, (s+1)*rows_per_shard). Per-shard block lists are
+    zero-padded to a common length so the stacked arrays are rectangular
+    (SPMD-uniform); block_row is shard-local, block_col global."""
+
+    blocks: jnp.ndarray      # [sp, nb_max, BLOCK, BLOCK] float32
+    block_row: jnp.ndarray   # [sp, nb_max] int32 (local block-row)
+    block_col: jnp.ndarray   # [sp, nb_max] int32 (global block-col)
+    first: jnp.ndarray       # [sp, nb_max] int32
+    n: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))  # global, % (sp*BLOCK) == 0
+    sp: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n_pad // self.sp
+
+
+def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
+    """Repartition a square single-chip BSR into sp row shards (host-side,
+    block granularity). The global padded dimension grows to a multiple of
+    sp*BLOCK; every shard carries an explicit (zero) block for each of its
+    block-rows so empty output rows still zero their accumulator."""
+    blocks = np.asarray(bsr.blocks, np.float32)
+    brow = np.asarray(bsr.block_row)
+    bcol = np.asarray(bsr.block_col)
+
+    total_block_rows = -(-bsr.n_pad // (sp * BLOCK)) * sp
+    rows_per = total_block_rows // sp
+    n_pad_global = total_block_rows * BLOCK
+
+    shards = []
+    for s in range(sp):
+        r0, r1 = s * rows_per, (s + 1) * rows_per
+        m = (brow >= r0) & (brow < r1)
+        b, r, c = blocks[m], (brow[m] - r0), bcol[m]
+        missing = sorted(set(range(rows_per)) - set(r.tolist()))
+        if missing:
+            b = np.concatenate(
+                [b, np.zeros((len(missing), BLOCK, BLOCK), np.float32)])
+            r = np.concatenate([r, np.array(missing, np.int64)])
+            c = np.concatenate([c, np.zeros(len(missing), np.int64)])
+        order = np.lexsort((c, r))
+        shards.append((b[order], r[order].astype(np.int32),
+                       c[order].astype(np.int32)))
+
+    nb_max = max(s[0].shape[0] for s in shards)
+    out = {"blocks": [], "block_row": [], "block_col": [], "first": []}
+    for b, r, c in shards:
+        pad = nb_max - b.shape[0]
+        if pad:
+            # zero blocks appended on the last local row keep the sort order
+            b = np.concatenate([b, np.zeros((pad, BLOCK, BLOCK), np.float32)])
+            r = np.concatenate([r, np.full(pad, rows_per - 1, np.int32)])
+            c = np.concatenate([c, np.zeros(pad, np.int32)])
+            order = np.lexsort((c, r))
+            b, r, c = b[order], r[order], c[order]
+        f = np.ones_like(r)
+        f[1:] = (r[1:] != r[:-1]).astype(f.dtype)
+        out["blocks"].append(b)
+        out["block_row"].append(r)
+        out["block_col"].append(c)
+        out["first"].append(f)
+
+    return ShardedBlockSparse(
+        blocks=jnp.asarray(np.stack(out["blocks"])),
+        block_row=jnp.asarray(np.stack(out["block_row"])),
+        block_col=jnp.asarray(np.stack(out["block_col"])),
+        first=jnp.asarray(np.stack(out["first"])),
+        n=bsr.n,
+        n_pad=n_pad_global,
+        sp=sp,
+    )
+
+
+def place_sharded_bsr(sbsr: ShardedBlockSparse, mesh) -> ShardedBlockSparse:
+    """Commit the stacked shard arrays to the mesh: leading dim over "sp"."""
+    from ..parallel.sharding import put_sharded
+
+    def put(v, rank):
+        spec = P(*(("sp",) + (None,) * (rank - 1)))
+        return put_sharded(v, NamedSharding(mesh, spec))
+
+    return dataclasses.replace(
+        sbsr,
+        blocks=put(sbsr.blocks, 4),
+        block_row=put(sbsr.block_row, 2),
+        block_col=put(sbsr.block_col, 2),
+        first=put(sbsr.first, 2),
+    )
+
+
+def bsr_matmul_sharded(sbsr: ShardedBlockSparse, x2d: jnp.ndarray, mesh,
+                      precision=None) -> jnp.ndarray:
+    """y = L @ x2d with rows of L (and y) sharded over "sp" and columns of
+    x2d sharded over "dp". x2d: [n_pad_global, C_global]; C_global must
+    split evenly over dp into panel-aligned chunks (cheb_conv_pallas_sharded
+    pads for this)."""
+    from .pallas_cheb import _bsr_matmul_impl
+
+    rows_local = sbsr.rows_per_shard
+
+    def body(blocks, brow, bcol, first, x_shard):
+        x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
+        local = BlockSparseOperator(
+            blocks=blocks[0], block_row=brow[0], block_col=bcol[0],
+            first=first[0], n=rows_local, n_pad=rows_local,
+            n_pad_cols=sbsr.n_pad)
+        return _bsr_matmul_impl(local, x_full, precision)
+
+    shard_spec = (P("sp", None, None, None), P("sp", None), P("sp", None),
+                  P("sp", None), P("sp", "dp"))
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=shard_spec,
+                           out_specs=P("sp", "dp"), check_vma=False)
+
+    @jax.custom_vjp
+    def mm(x):
+        return mapped(sbsr.blocks, sbsr.block_row, sbsr.block_col,
+                      sbsr.first, x)
+
+    def fwd(x):
+        return mm(x), None
+
+    def bwd(_, g):
+        # L is globally symmetric: dx = L^T g = L g — the same sharded
+        # product on the cotangent; no transpose kernel needed
+        return (mapped(sbsr.blocks, sbsr.block_row, sbsr.block_col,
+                       sbsr.first, g),)
+
+    mm.defvjp(fwd, bwd)
+    return mm(x2d)
+
+
+def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
+                             bias: jnp.ndarray | None,
+                             precision=None) -> jnp.ndarray:
+    """Chebyshev conv with the vertex-sharded kernel: the recurrence state
+    lives row-sharded over "sp" (and batch-column-sharded over "dp"); each
+    propagation all-gathers activations over ICI and computes local rows.
+    Mirrors cheb_conv_pallas's stacked-mix structure."""
+    from .cheb import resolve_precision
+
+    sbsr: ShardedBlockSparse = op.bsr_sp
+    mesh = op.mesh
+    b, n, f_in = x.shape
+    k, _, f_out = weight.shape
+    n_pad = sbsr.n_pad
+    dp = mesh.shape["dp"]
+
+    # pad features so each dp shard's column chunk is panel-aligned
+    f_pad = f_in
+    while (b * f_pad) % (dp * 128) != 0:
+        f_pad += 1
+
+    xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # [N, B, F]
+    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
+    w = jnp.pad(weight.astype(jnp.float32),
+                ((0, 0), (0, f_pad - f_in), (0, 0)))
+
+    prec = resolve_precision(precision)
+    prop = lambda t: bsr_matmul_sharded(
+        sbsr, t.reshape(n_pad, b * f_pad), mesh,
+        precision=prec).reshape(n_pad, b, f_pad)
+
+    txs = [xt]
+    if k > 1:
+        txs.append(prop(xt))
+    for _ in range(2, k):
+        txs.append(2.0 * prop(txs[-1]) - txs[-2])
+    out = jax.lax.dot_general(
+        jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
+        (((2,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)  # [N, B, F_out]
+
+    out = out[:n]
+    out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]
+    if bias is not None:
+        out = out + bias
+    return out

@@ -111,7 +111,15 @@ def shard_operators(ops, mesh: Mesh):
     of ring-attention neighbor exchange. ELL/pool gather operands shard
     their output-row dimension the same way. Batch-dim arrays stay sharded
     over "dp" elsewhere; operators are batch-replicated.
+
+    Pallas BSR operators get the real distributed kernel: under sp > 1 each
+    128-block-CSR operator is repartitioned into per-device row shards and
+    the propagation runs under shard_map (ops/pallas_shard.py) — blocks
+    stream locally, activations all-gather over ICI.
     """
+    sp = int(mesh.shape.get("sp", 1))
+    if sp > 1:
+        ops = _shard_bsr_operators(ops, mesh, sp)
     row_sharded = NamedSharding(mesh, P("sp", None))
     row3 = NamedSharding(mesh, P("sp", None, None))
     rep = replicated_sharding(mesh)
@@ -126,6 +134,12 @@ def shard_operators(ops, mesh: Mesh):
             if leaf.shape[0] % mesh.shape["sp"] == 0:
                 return put_sharded(leaf, row_sharded)
             return put_sharded(leaf, rep)
+        if name == "blocks" and leaf.ndim == 4:
+            # ShardedBlockSparse stacks: leading dim IS the sp shard
+            return put_sharded(leaf, NamedSharding(
+                mesh, P("sp", None, None, None)))
+        if name in ("block_row", "block_col", "first") and leaf.ndim == 2:
+            return put_sharded(leaf, row_sharded)
         if name == "blocks" and leaf.ndim == 3:
             if leaf.shape[0] % mesh.shape["sp"] == 0:
                 return put_sharded(leaf, row3)
@@ -133,3 +147,24 @@ def shard_operators(ops, mesh: Mesh):
         return put_sharded(leaf, rep)
 
     return jax.tree_util.tree_map_with_path(place, ops)
+
+
+def _shard_bsr_operators(ops, mesh: Mesh, sp: int):
+    """Replace every single-chip BSR operator with its sp-row-sharded form
+    (+ the mesh, so cheb_conv can shard_map at trace time)."""
+    import dataclasses
+
+    from ..ops.pallas_shard import shard_block_sparse
+
+    def convert(op):
+        if getattr(op, "bsr", None) is None:
+            return op
+        return dataclasses.replace(op, bsr=None,
+                                   bsr_sp=shard_block_sparse(op.bsr, sp),
+                                   mesh=mesh)
+
+    return dataclasses.replace(
+        ops,
+        lap=tuple(convert(o) for o in ops.lap),
+        lap_final=convert(ops.lap_final),
+    )

@@ -75,6 +75,21 @@ class TestBsrMatmul:
         expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
         np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
 
+    def test_high_precision_bf16x3(self, big_graph):
+        """precision=high runs an in-kernel bf16x3 split (3 MXU passes vs
+        HIGHEST's 6) and must stay ~1e-5 of the exact product — well inside
+        the <1e-4 parity budget."""
+        mesh, adj = big_graph
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((bsr.n_pad, 128)).astype(np.float32)
+        expected = np.zeros_like(x)
+        expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
+        y = np.asarray(pc.bsr_matmul(bsr, jnp.asarray(x), precision="high"))
+        scale = np.abs(expected).max()
+        assert np.abs(y - expected).max() / scale < 2e-5
+
     def test_vjp_uses_symmetry(self, big_graph):
         mesh, adj = big_graph
         lap = normalized_neg_adjacency(adj)
@@ -87,6 +102,42 @@ class TestBsrMatmul:
         expected = np.zeros_like(np.asarray(g))
         expected[: bsr.n] = (lap.T @ np.asarray(g)[: bsr.n]).astype(np.float32)
         np.testing.assert_allclose(np.asarray(dx), expected, rtol=1e-5,
+                                   atol=1e-5)
+
+
+class TestShardedBsr:
+    """The distributed kernel (ops/pallas_shard.py): operator row-blocks
+    sharded over "sp", activations all-gathered over the mesh, batch
+    columns sharded over "dp" — SURVEY.md §2c's 'row-blocks of L
+    distributable' design, proven on the virtual CPU mesh."""
+
+    def test_matmul_and_vjp_match_scipy(self):
+        from meshvae_tpu.ops.pallas_shard import (bsr_matmul_sharded,
+                                                  shard_block_sparse)
+        from meshvae_tpu.parallel.sharding import make_device_mesh
+
+        mesh_g = make_grid_mesh(23, jitter=0.05)  # 529 verts -> 5+ blocks
+        lap = normalized_neg_adjacency(
+            vertex_adjacency(mesh_g.num_vertices, mesh_g.f))
+        bsr = to_block_sparse(lap)
+        sbsr = shard_block_sparse(bsr, 2)
+        assert sbsr.n_pad % (2 * BLOCK) == 0
+        dmesh = make_device_mesh(dp=4, sp=2)
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((sbsr.n_pad, 512)).astype(np.float32)
+        y = np.asarray(bsr_matmul_sharded(sbsr, jnp.asarray(x), dmesh))
+        expected = np.zeros_like(x)
+        expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
+        np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
+
+        g = rng.standard_normal(x.shape).astype(np.float32)
+        _, vjp = jax.vjp(lambda t: bsr_matmul_sharded(sbsr, t, dmesh),
+                         jnp.asarray(x))
+        (dx,) = vjp(jnp.asarray(g))
+        exp_g = np.zeros_like(g)
+        exp_g[: bsr.n] = (lap.T @ g[: bsr.n]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(dx), exp_g, rtol=1e-5,
                                    atol=1e-5)
 
 

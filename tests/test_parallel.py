@@ -113,6 +113,43 @@ class TestDataParallel:
         spec = dense0.sharding.spec
         assert spec[0] == "sp" or dense0.shape[0] % 2 != 0
 
+    def test_pallas_method_under_mesh(self, setup):
+        """cheb_method=pallas under a dp4 x sp2 mesh runs the DISTRIBUTED
+        kernel (shard_operators converts BSR to per-device row shards and
+        the propagation shard_maps over "sp", ops/pallas_shard.py); the
+        step must equal the single-device step (interpreter-mode kernel on
+        the CPU mesh)."""
+        import meshvae_tpu.ops.graph as graph_mod
+        import meshvae_tpu.ops.pallas_cheb as pc
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+        from conftest import make_grid_mesh
+
+        model, _, config, batch, mean, std = setup
+        hier = build_hierarchy(make_grid_mesh(8, jitter=0.05), [2, 2])
+        saved = graph_mod.PALLAS_MIN_N
+        graph_mod.PALLAS_MIN_N = 0
+        pc.INTERPRET = True
+        try:
+            ops = build_operators(hier, cheb_method="pallas",
+                                  pool_method="gather")
+            cfg = dict(config)
+            cfg["cheb_method"] = "pallas"
+            from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+            pmodel = MeshVAE(VAEConfig.from_config(
+                cfg, coarse_verts=hier.levels[-1]))
+            _, m_single = _one_step(pmodel, ops, cfg, batch, mean, std,
+                                    mesh=None)
+            dmesh = make_device_mesh(dp=4, sp=2)
+            _, m_mesh = _one_step(pmodel, ops, cfg, batch, mean, std,
+                                  mesh=dmesh)
+        finally:
+            graph_mod.PALLAS_MIN_N = saved
+            pc.INTERPRET = False
+        for k in m_single:
+            np.testing.assert_allclose(m_mesh[k], m_single[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+
 
 class TestScannedPathsUnderMesh:
     """The driver defaults to scan_epoch=True — the scanned epoch/eval paths

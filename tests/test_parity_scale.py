@@ -89,3 +89,24 @@ class TestParityAtScale:
         finally:
             pc.INTERPRET = False
         _assert_parity(out, golden)
+
+    def test_pallas_high_precision_path(self, scale_env):
+        """matmul_precision=high (bf16x3, 3 MXU passes) must STILL meet the
+        <1e-4 recon-delta parity bar at full 5k scale — this is what
+        licenses HIGH as the throughput default (BASELINE.md)."""
+        import meshvae_tpu.ops.pallas_cheb as pc
+
+        jmodel, params, ops, x, y, golden = scale_env
+        cfg = VAEConfig(**{**jmodel.cfg.__dict__, "cheb_method": "pallas",
+                           "precision": "high"})
+        pc.INTERPRET = True
+        try:
+            out = MeshVAE(cfg).apply(params, jnp.asarray(x), jnp.asarray(y),
+                                     ops, train=False)
+        finally:
+            pc.INTERPRET = False
+        t_recon = golden[0]
+        delta = np.abs(np.asarray(out["recon"]) - t_recon).max()
+        assert delta < 1e-4, f"HIGH recon delta {delta} at 5k vertices"
+        np.testing.assert_allclose(np.asarray(out["mu"]), golden[2],
+                                   rtol=1e-3, atol=1e-4)
