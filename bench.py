@@ -243,6 +243,10 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
            "--steps", str(args.steps), "--warmup", str(args.warmup),
            "--precision", args.pallas_precision, "--workload", args.workload,
            "--compute-dtype", args.compute_dtype]
+    if getattr(args, "scan", False):
+        # keep measurement modes comparable: a scan-epoch dense run must
+        # race (and loss-check against) a scan-epoch pallas run
+        cmd.append("--scan")
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=args.pallas_timeout)

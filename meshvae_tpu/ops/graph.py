@@ -212,6 +212,8 @@ class PoolOperator:
 def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
                   pool_method: str | None = None) -> PoolOperator:
     """pool_method None builds both layouts; "gather"/"dense" build one."""
+    if pool_method not in (None, "gather", "dense"):
+        raise ValueError(f"unknown pool method: {pool_method}")
     csr = sp.csr_matrix(mat)
     if pool_method in (None, "gather"):
         idx_np, w_np = _to_ell(csr, pad_self=False)

@@ -23,7 +23,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from .block_sparse import BLOCK, BlockSparseOperator
 
@@ -54,7 +54,8 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
     block granularity). The global padded dimension grows to a multiple of
     sp*BLOCK; every shard carries an explicit (zero) block for each of its
     block-rows so empty output rows still zero their accumulator."""
-    blocks = np.asarray(bsr.blocks, np.float32)
+    op_dtype = bsr.blocks.dtype  # preserved: bf16 blocks keep streaming
+    blocks = np.asarray(bsr.blocks.astype(jnp.float32))  # exact staging
     brow = np.asarray(bsr.block_row)
     bcol = np.asarray(bsr.block_col)
 
@@ -96,30 +97,13 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
         out["first"].append(f)
 
     return ShardedBlockSparse(
-        blocks=jnp.asarray(np.stack(out["blocks"])),
+        blocks=jnp.asarray(np.stack(out["blocks"]), dtype=op_dtype),
         block_row=jnp.asarray(np.stack(out["block_row"])),
         block_col=jnp.asarray(np.stack(out["block_col"])),
         first=jnp.asarray(np.stack(out["first"])),
         n=bsr.n,
         n_pad=n_pad_global,
         sp=sp,
-    )
-
-
-def place_sharded_bsr(sbsr: ShardedBlockSparse, mesh) -> ShardedBlockSparse:
-    """Commit the stacked shard arrays to the mesh: leading dim over "sp"."""
-    from ..parallel.sharding import put_sharded
-
-    def put(v, rank):
-        spec = P(*(("sp",) + (None,) * (rank - 1)))
-        return put_sharded(v, NamedSharding(mesh, spec))
-
-    return dataclasses.replace(
-        sbsr,
-        blocks=put(sbsr.blocks, 4),
-        block_row=put(sbsr.block_row, 2),
-        block_col=put(sbsr.block_col, 2),
-        first=put(sbsr.first, 2),
     )
 
 
@@ -191,8 +175,12 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
 
     prec = resolve_precision(precision)
+    # with bf16 operator blocks, downcast the live activations too so both
+    # SpMM operands stream at half width (same as the single-chip path);
+    # the recurrence state stays f32 (the kernel emits f32 accumulations)
+    op_dtype = sbsr.blocks.dtype
     prop = lambda t: bsr_matmul_sharded(
-        sbsr, t.reshape(n_pad, b * f_pad), mesh,
+        sbsr, t.astype(op_dtype).reshape(n_pad, b * f_pad), mesh,
         precision=prec).reshape(n_pad, b, f_pad)
 
     txs = [xt]

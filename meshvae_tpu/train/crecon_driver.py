@@ -106,12 +106,9 @@ class CreconTrainer:
                          ops):
         """Whole epoch (stacked batches [S, B, ...]) in one device dispatch;
         perm re-draws the batch composition on device (staged datasets)."""
-        steps, bs = batches["mask"].shape[:2]
-        batches = {
-            k: jnp.take(v.reshape((steps * bs,) + v.shape[2:]), perm,
-                        axis=0).reshape((steps, bs) + v.shape[2:])
-            for k, v in batches.items()
-        }
+        from .loop import reshuffle_batches
+
+        batches = reshuffle_batches(batches, perm)
 
         def body(carry, batch):
             params, opt_state = carry

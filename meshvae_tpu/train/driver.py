@@ -205,13 +205,21 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                            f"(train {train_avg['loss']}, "
                            f"val {valid_avg['loss']})")
                     log.print(msg)
+                    # keep the failing epoch in the flushed history so the
+                    # post-mortem tools can see where it blew up
+                    history.append(history_record(epoch, begin, duration,
+                                                  train_avg, valid_avg,
+                                                  mean_val_error))
                     write_history(checkpoint_dir, n, history)
                     if config.get("halt_on_nonfinite", True):
+                        ckpt = checkpoint_path(checkpoint_dir, n)
+                        hint = (f"; best checkpoint so far: {ckpt}"
+                                if os.path.exists(ckpt)
+                                else "; no finite epoch completed — no "
+                                     "checkpoint was saved")
                         raise RuntimeError(
-                            msg + "; best checkpoint so far: "
-                            + checkpoint_path(checkpoint_dir, n)
-                            + " (set halt_on_nonfinite = False to keep "
-                              "training through it)")
+                            msg + hint + " (set halt_on_nonfinite = False "
+                            "to keep training through it)")
 
                 if valid_avg["loss"] <= best_loss:
                     # unlike the reference (which stores the fold number in

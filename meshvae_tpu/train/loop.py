@@ -40,6 +40,21 @@ def unpack_metrics(arr) -> dict:
     return dict(zip(METRIC_NAMES, arr))
 
 
+def reshuffle_batches(batches: dict, perm) -> dict:
+    """Re-draw a staged epoch's batch composition on device: flatten the
+    [S, B] sample grid, gather by perm, restack. Padding samples (mask 0)
+    ride along wherever they land. Shared by the VAE and crecon scan
+    paths."""
+    steps, bs = batches["mask"].shape[:2]
+
+    def gather(a):
+        flat = a.reshape((steps * bs,) + a.shape[2:])
+        return jnp.take(flat, perm, axis=0).reshape(
+            (steps, bs) + a.shape[2:])
+
+    return {k: gather(v) for k, v in batches.items()}
+
+
 def lr_for_epoch(epoch: int, base_lr: float, learning_rates: list[float],
                  learning_rates_epochs: list[float]) -> float:
     """Reference step schedule: the *last* threshold the epoch exceeds wins
@@ -212,26 +227,13 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def _reshuffle(self, batches, perm):
-        """Re-draw the epoch's batch composition on device: flatten the
-        [S, B] sample grid, gather by perm, restack. Padding samples
-        (mask 0) ride along wherever they land."""
-        steps, bs = batches["mask"].shape[:2]
-
-        def gather(a):
-            flat = a.reshape((steps * bs,) + a.shape[2:])
-            return jnp.take(flat, perm, axis=0).reshape(
-                (steps, bs) + a.shape[2:])
-
-        return {k: gather(v) for k, v in batches.items()}
-
     def _train_scan_impl(self, params, opt_state, batches, perm, rng,
                          norm_mean, norm_std, ops):
         """A whole epoch (stacked batches [S, B, ...]) in one dispatch via
         lax.scan — eliminates per-step host->device dispatch latency, which
         dominates at small batch sizes."""
         steps = batches["mask"].shape[0]
-        batches = self._reshuffle(batches, perm)
+        batches = reshuffle_batches(batches, perm)
 
         def body(carry, inp):
             params, opt_state = carry

@@ -102,8 +102,16 @@ def main():
     config = read_config(args.conf)
     # A reference-trained checkpoint is only meaningful on the reference's
     # exact mesh hierarchy: force the bit-exact QSlim collapse order unless
-    # the config explicitly says otherwise.
-    if "hierarchy_mode" not in open(args.conf).read():
+    # the config explicitly sets the key (parse the INI for a real
+    # assignment — a raw-text grep would trip over comments mentioning it)
+    import configparser
+
+    parser = configparser.RawConfigParser()
+    parser.read(args.conf)
+    explicit = any(key == "hierarchy_mode"
+                   for section in parser.sections()
+                   for key, _ in parser.items(section))
+    if not explicit:
         config["hierarchy_mode"] = "reference"
         print("hierarchy_mode=reference (bit-exact reference QSlim; set "
               "hierarchy_mode in the config to override)")
