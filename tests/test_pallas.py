@@ -141,6 +141,33 @@ class TestShardedBsr:
                                    atol=1e-5)
 
 
+    def test_bf16_blocks_survive_sharding(self):
+        """The bf16 half-width streaming mode must survive repartitioning:
+        shard_block_sparse preserves the block dtype and the sharded conv
+        downcasts activations to match (a silent f32 upcast would void the
+        mode exactly at multi-chip scale)."""
+        from meshvae_tpu.ops.pallas_shard import (bsr_matmul_sharded,
+                                                  shard_block_sparse)
+        from meshvae_tpu.parallel.sharding import make_device_mesh
+
+        mesh_g = make_grid_mesh(23, jitter=0.05)
+        lap = normalized_neg_adjacency(
+            vertex_adjacency(mesh_g.num_vertices, mesh_g.f))
+        bsr = to_block_sparse(lap, dtype=jnp.bfloat16)
+        sbsr = shard_block_sparse(bsr, 2)
+        assert sbsr.blocks.dtype == jnp.bfloat16
+
+        dmesh = make_device_mesh(dp=4, sp=2)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((sbsr.n_pad, 512)).astype(np.float32)
+        y = np.asarray(bsr_matmul_sharded(
+            sbsr, jnp.asarray(x, jnp.bfloat16), dmesh, precision="default"))
+        expected = np.zeros_like(x)
+        expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
+        # bf16 operands with f32 accumulation: ~1e-2 absolute on O(1) data
+        np.testing.assert_allclose(y, expected, rtol=2e-2, atol=2e-2)
+
+
 class TestChebConvPallas:
     def test_matches_dense_path(self, big_graph):
         mesh, adj = big_graph
