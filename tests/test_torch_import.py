@@ -102,6 +102,46 @@ class TestImportEndToEnd:
     QSlim — test_hierarchy_golden) import into this framework and reproduce
     the source model's eval outputs to <1e-4."""
 
+    def test_gcn_import_reproduces_outputs(self):
+        """The crecon-stage cheb_GCN import path: a torch GCN serialized
+        under the reference's parameter names imports and reproduces its
+        logits (the VAE path is covered below; the GCN mapping —
+        cheb.{i}.*, enc_lin, cls_layer — was previously untested)."""
+        from benchmarks.torch_cpu_baseline import TorchChebGCN
+        from meshvae_tpu.models.gcn import ChebGCN, GCNConfig
+
+        mesh = make_grid_mesh(10, jitter=0.05)
+        hier = build_hierarchy(mesh, [2, 2, 2, 2], mode="reference")
+        ops = build_operators(hier)
+
+        filters, K = [8, 8, 8, 16, 16], [4, 4, 4, 4, 4]
+        torch.manual_seed(5)
+        tmodel = TorchChebGCN(hier, filters=filters, K=K, num_feature=6,
+                              hidden=32)
+        tmodel.eval()
+
+        sd = {}
+        for i, (w, b) in enumerate(zip(tmodel.cheb_w, tmodel.cheb_b)):
+            sd[f"cheb.{i}.weight"] = w.detach()
+            sd[f"cheb.{i}.bias"] = b.detach()
+        for lin in ("enc_lin", "cls_layer"):
+            sd[f"{lin}.weight"] = getattr(tmodel, lin).weight.detach()
+            sd[f"{lin}.bias"] = getattr(tmodel, lin).bias.detach()
+
+        cfg = GCNConfig(num_features=6, filters=tuple(filters),
+                        polygon_order=tuple(K), n_layers=4, hidden=32,
+                        num_classes=2, coarse_verts=hier.levels[-1])
+        model = ChebGCN(cfg)
+        x0 = jnp.zeros((1, hier.levels[0], 6), jnp.float32)
+        target = model.init(jax.random.key(0), x0, ops)
+        imported = import_torch_vae_state(sd, target, model_type="cheb_GCN")
+
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((4, hier.levels[0], 6)).astype(np.float32)
+        t_logits = tmodel(torch.from_numpy(x)).detach().numpy()
+        j_logits = np.asarray(model.apply(imported, jnp.asarray(x), ops))
+        np.testing.assert_allclose(j_logits, t_logits, rtol=1e-5, atol=1e-5)
+
     def test_reference_hierarchy_checkpoint_reproduces_outputs(self):
         from benchmarks.torch_cpu_baseline import TorchChebVAE
         from parity_utils import torch_eval_forward
