@@ -39,6 +39,14 @@ class BlockSparseOperator:
     n_pad: int = dataclasses.field(metadata=dict(static=True))
     n_pad_cols: int = dataclasses.field(default=-1,
                                         metadata=dict(static=True))
+    # column-major view for the VMEM-panel kernel (pallas_cheb): the same
+    # `blocks` array addressed through a (block_col, block_row)-sorted
+    # permutation — consecutive grid steps then revisit the same x slab, so
+    # each occupied column block streams once per panel instead of once per
+    # occupied block. Tiny [nb] arrays; None for hand-built operators.
+    col_order: jnp.ndarray | None = None      # [nb] int32 into blocks
+    block_row_c: jnp.ndarray | None = None    # [nb] int32 (col-sorted)
+    block_col_c: jnp.ndarray | None = None    # [nb] int32 (col-sorted)
 
     def __post_init__(self):
         if self.n_pad_cols < 0:
@@ -93,6 +101,7 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
         first = np.ones_like(block_row)
         first[1:] = (block_row[1:] != block_row[:-1]).astype(np.int32)
 
+    col_order = np.lexsort((block_row, block_col)).astype(np.int32)
     return BlockSparseOperator(
         blocks=jnp.asarray(blocks, dtype=dtype),
         block_row=jnp.asarray(block_row),
@@ -100,6 +109,9 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
         first=jnp.asarray(first),
         n=n,
         n_pad=n_pad,
+        col_order=jnp.asarray(col_order),
+        block_row_c=jnp.asarray(block_row[col_order]),
+        block_col_c=jnp.asarray(block_col[col_order]),
     )
 
 

@@ -22,6 +22,12 @@ from .block_sparse import BLOCK, BlockSparseOperator
 
 _COL_PANEL = 128
 
+# VMEM allowance for the column-major kernel's resident output panel
+# ([n_pad, panel] f32); levels too tall for any panel fall back to the
+# row-major kernel. Env-overridable for tuning.
+COLMAJOR_VMEM_BUDGET = int(__import__("os").environ.get(
+    "MESHVAE_COLMAJOR_BUDGET", str(6 * 1024 * 1024)))
+
 # Set True to run the kernel in the Pallas interpreter (CPU tests / debug);
 # MESHVAE_PALLAS_INTERPRET=1 sets it from the environment so the CLIs can
 # drive the pallas path end-to-end on the CPU backend.
@@ -52,6 +58,99 @@ def _make_spmm_kernel(precision):
         _accumulate(first_ref, o_ref, contrib)
 
     return _spmm_kernel
+
+
+def _make_colmajor_kernel(precision):
+    """Column-major variant: the WHOLE [n_pad, panel] output panel stays
+    VMEM-resident across the block loop (out index map is constant per
+    panel), blocks iterate sorted by (col, row) so consecutive steps
+    revisit the same x slab — each occupied column block streams once per
+    panel instead of once per occupied block (~3x less slab traffic at the
+    5k level-0's ~3 blocks/row). Accumulation is a dynamic-sliced += into
+    the resident panel; no first flags needed (zero at step 0)."""
+
+    def _kernel(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, o_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        contrib = jnp.dot(l_ref[0], x_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+        r = pl.multiple_of(brow_ref[b] * BLOCK, BLOCK)
+        o_ref[pl.ds(r, BLOCK), :] += contrib
+
+    return _kernel
+
+
+def _colmajor_kernel_bf16x3(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref,
+                            xh_ref, xl_ref, o_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+    contrib = (dot(lh_ref[0], xh_ref[:])
+               + (dot(lh_ref[0], xl_ref[:]) + dot(ll_ref[0], xh_ref[:])))
+    r = pl.multiple_of(brow_ref[b] * BLOCK, BLOCK)
+    o_ref[pl.ds(r, BLOCK), :] += contrib
+
+
+def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
+                     panel: int):
+    """pallas_call for the column-major VMEM-panel kernel. Blocks are
+    addressed through the scalar-prefetched (col, row)-sorted permutation
+    ord — no duplicated block storage."""
+    rows_x, c = x2d.shape
+    n_pad = bsr.n_pad
+    nb = bsr.num_blocks
+    panels = c // panel
+
+    block_spec = lambda: pl.BlockSpec(
+        (1, BLOCK, BLOCK), lambda j, b, o, br, bc: (o[b], 0, 0),
+        memory_space=pltpu.VMEM)
+    x_spec = lambda: pl.BlockSpec(
+        (BLOCK, panel), lambda j, b, o, br, bc: (bc[b], j),
+        memory_space=pltpu.VMEM)
+    if high:
+        kernel = _colmajor_kernel_bf16x3
+        lh = bsr.blocks.astype(jnp.bfloat16)
+        ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh = x2d.astype(jnp.bfloat16)
+        xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        operands = (lh, ll, xh, xl)
+        in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
+        flops = 3 * 2 * nb * BLOCK * BLOCK * c
+    else:
+        kernel = _make_colmajor_kernel(precision)
+        operands = (bsr.blocks, x2d)
+        in_specs = [block_spec(), x_spec()]
+        flops = 2 * nb * BLOCK * BLOCK * c
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(panels, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_pad, panel),
+                               lambda j, b, o, br, bc: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=INTERPRET,
+    )(bsr.col_order, bsr.block_row_c, bsr.block_col_c, *operands)
 
 
 def _spmm_kernel_bf16x3(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref,
@@ -88,6 +187,21 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         panel *= 2
     panels = c // panel
     nb = bsr.num_blocks
+    high = precision == jax.lax.Precision.HIGH
+
+    if bsr.col_order is not None:
+        # widest panel under the VMEM budget for a resident output panel
+        cpanel = _COL_PANEL
+        while (cpanel * 2 <= min(c, 1024) and c % (cpanel * 2) == 0
+               and n_pad * cpanel * 2 * 4 <= COLMAJOR_VMEM_BUDGET):
+            cpanel *= 2
+        # col-major wins only when the budget doesn't force a NARROWER
+        # panel than row-major uses — a shrunken panel re-streams the
+        # blocks proportionally, which outweighs the slab savings
+        # (measured: bs16 +8%, bs128 with 1024->256 shrink -6%)
+        if (n_pad * cpanel * 4 <= COLMAJOR_VMEM_BUDGET
+                and cpanel >= panel):
+            return _colmajor_matmul(bsr, x2d, precision, high, cpanel)
 
     block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
                                       lambda j, b, br, bc, fr: (b, 0, 0),
@@ -95,7 +209,6 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     x_spec = lambda: pl.BlockSpec((BLOCK, panel),
                                   lambda j, b, br, bc, fr: (bc[b], j),
                                   memory_space=pltpu.VMEM)
-    high = precision == jax.lax.Precision.HIGH
     if high:
         kernel = _spmm_kernel_bf16x3
         lh = bsr.blocks.astype(jnp.bfloat16)
