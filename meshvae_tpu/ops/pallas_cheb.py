@@ -35,73 +35,116 @@ INTERPRET = bool(int(__import__("os").environ.get(
     "MESHVAE_PALLAS_INTERPRET", "0")))
 
 
-def _accumulate(first_ref, o_ref, contrib):
+def _accumulate(first_ref, o_ref, contrib, tprev_ref):
+    """Row-major accumulation into the revisited output row-block. With a
+    fused recurrence operand (tprev_ref), the first block of a row seeds
+    the accumulator with −T_{k−2}[row] — folding the Chebyshev elementwise
+    step (2·L·T_{k−1} − T_{k−2}, the ×2 lives in alpha upstream) into the
+    SpMM instead of a separate XLA kernel that round-trips the whole
+    activation through HBM once per order."""
     b = pl.program_id(1)
 
     @pl.when(first_ref[b] == 1)
     def _():
-        o_ref[:] = contrib
+        if tprev_ref is None:
+            o_ref[:] = contrib
+        else:
+            o_ref[:] = contrib - tprev_ref[:]
 
     @pl.when(first_ref[b] == 0)
     def _():
         o_ref[:] = o_ref[:] + contrib
 
 
-def _make_spmm_kernel(precision):
-    def _spmm_kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
+def _make_spmm_kernel(precision, alpha, fuse_prev):
+    def _plain(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
         # HIGHEST keeps the MXU in true-f32 mode (default truncates to
         # bf16, which breaks the <1e-4 parity budget); DEFAULT is the
         # opt-in bf16 speed mode.
-        contrib = jnp.dot(l_ref[0], x_ref[:],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-        _accumulate(first_ref, o_ref, contrib)
+        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+        _accumulate(first_ref, o_ref, contrib, None)
 
-    return _spmm_kernel
+    def _fused(brow_ref, bcol_ref, first_ref, l_ref, x_ref, tprev_ref,
+               o_ref):
+        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+        _accumulate(first_ref, o_ref, contrib, tprev_ref)
+
+    return _fused if fuse_prev else _plain
 
 
-def _make_colmajor_kernel(precision):
+def _make_colmajor_kernel(precision, alpha, fuse_prev):
     """Column-major variant: the WHOLE [n_pad, panel] output panel stays
     VMEM-resident across the block loop (out index map is constant per
     panel), blocks iterate sorted by (col, row) so consecutive steps
     revisit the same x slab — each occupied column block streams once per
     panel instead of once per occupied block (~3x less slab traffic at the
     5k level-0's ~3 blocks/row). Accumulation is a dynamic-sliced += into
-    the resident panel; no first flags needed (zero at step 0)."""
+    the resident panel; the panel seeds with 0 (or −T_{k−2} when the
+    recurrence step is fused) at step 0."""
 
-    def _kernel(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, o_ref):
-        b = pl.program_id(1)
-
-        @pl.when(b == 0)
+    def _init(o_ref, tprev_ref):
+        @pl.when(pl.program_id(1) == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            if tprev_ref is None:
+                o_ref[:] = jnp.zeros_like(o_ref)
+            else:
+                o_ref[:] = -tprev_ref[:]
 
-        contrib = jnp.dot(l_ref[0], x_ref[:],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
-        r = pl.multiple_of(brow_ref[b] * BLOCK, BLOCK)
+    def _plain(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, o_ref):
+        _init(o_ref, None)
+        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
         o_ref[pl.ds(r, BLOCK), :] += contrib
 
-    return _kernel
+    def _fused(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, tprev_ref, o_ref):
+        _init(o_ref, tprev_ref)
+        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
+        o_ref[pl.ds(r, BLOCK), :] += contrib
+
+    return _fused if fuse_prev else _plain
 
 
-def _colmajor_kernel_bf16x3(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref,
-                            xh_ref, xl_ref, o_ref):
-    b = pl.program_id(1)
+def _make_colmajor_kernel_bf16x3(alpha, fuse_prev):
+    def _init(o_ref, tprev_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            if tprev_ref is None:
+                o_ref[:] = jnp.zeros_like(o_ref)
+            else:
+                o_ref[:] = -tprev_ref[:]
 
-    @pl.when(b == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+    def _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref):
+        dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+        contrib = alpha * (dot(lh_ref[0], xh_ref[:])
+                           + (dot(lh_ref[0], xl_ref[:])
+                              + dot(ll_ref[0], xh_ref[:])))
+        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
+        o_ref[pl.ds(r, BLOCK), :] += contrib
 
-    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
-    contrib = (dot(lh_ref[0], xh_ref[:])
-               + (dot(lh_ref[0], xl_ref[:]) + dot(ll_ref[0], xh_ref[:])))
-    r = pl.multiple_of(brow_ref[b] * BLOCK, BLOCK)
-    o_ref[pl.ds(r, BLOCK), :] += contrib
+    def _plain(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
+               o_ref):
+        _init(o_ref, None)
+        _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref)
+
+    def _fused(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
+               tprev_ref, o_ref):
+        _init(o_ref, tprev_ref)
+        _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref)
+
+    return _fused if fuse_prev else _plain
 
 
 def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
-                     panel: int):
+                     panel: int, t_prev=None, alpha=1.0):
     """pallas_call for the column-major VMEM-panel kernel. Blocks are
     addressed through the scalar-prefetched (col, row)-sorted permutation
     ord — no duplicated block storage."""
@@ -109,6 +152,7 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     n_pad = bsr.n_pad
     nb = bsr.num_blocks
     panels = c // panel
+    fuse_prev = t_prev is not None
 
     block_spec = lambda: pl.BlockSpec(
         (1, BLOCK, BLOCK), lambda j, b, o, br, bc: (o[b], 0, 0),
@@ -116,20 +160,26 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     x_spec = lambda: pl.BlockSpec(
         (BLOCK, panel), lambda j, b, o, br, bc: (bc[b], j),
         memory_space=pltpu.VMEM)
+    tprev_spec = lambda: pl.BlockSpec(
+        (n_pad, panel), lambda j, b, o, br, bc: (0, j),
+        memory_space=pltpu.VMEM)
     if high:
-        kernel = _colmajor_kernel_bf16x3
+        kernel = _make_colmajor_kernel_bf16x3(alpha, fuse_prev)
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = x2d.astype(jnp.bfloat16)
         xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        operands = (lh, ll, xh, xl)
+        operands = [lh, ll, xh, xl]
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_colmajor_kernel(precision)
-        operands = (bsr.blocks, x2d)
+        kernel = _make_colmajor_kernel(precision, alpha, fuse_prev)
+        operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
+    if fuse_prev:
+        operands.append(t_prev)
+        in_specs.append(tprev_spec())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -153,8 +203,7 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     )(bsr.col_order, bsr.block_row_c, bsr.block_col_c, *operands)
 
 
-def _spmm_kernel_bf16x3(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref,
-                        xh_ref, xl_ref, o_ref):
+def _make_spmm_kernel_bf16x3(alpha, fuse_prev):
     """bf16x3 ("HIGH"): both operands arrive pre-split into a bf16 hi part
     and a bf16 residual (same total bytes as f32); the three leading cross
     products with f32 accumulation give ~1e-5 relative error — inside the
@@ -162,15 +211,32 @@ def _spmm_kernel_bf16x3(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref,
     dot knows only DEFAULT/HIGHEST, so the scheme is explicit; splitting
     happens once per operand OUTSIDE the kernel (the L split is static and
     CSE'd per step; an in-kernel split would recompute per block)."""
-    dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
-    contrib = (dot(lh_ref[0], xh_ref[:])
-               + (dot(lh_ref[0], xl_ref[:]) + dot(ll_ref[0], xh_ref[:])))
-    _accumulate(first_ref, o_ref, contrib)
+
+    def _contrib(lh_ref, ll_ref, xh_ref, xl_ref):
+        dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+        return alpha * (dot(lh_ref[0], xh_ref[:])
+                        + (dot(lh_ref[0], xl_ref[:])
+                           + dot(ll_ref[0], xh_ref[:])))
+
+    def _plain(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
+               xl_ref, o_ref):
+        _accumulate(first_ref, o_ref, _contrib(lh_ref, ll_ref, xh_ref,
+                                               xl_ref), None)
+
+    def _fused(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
+               xl_ref, tprev_ref, o_ref):
+        _accumulate(first_ref, o_ref, _contrib(lh_ref, ll_ref, xh_ref,
+                                               xl_ref), tprev_ref)
+
+    return _fused if fuse_prev else _plain
 
 
 def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
-                     precision=None) -> jnp.ndarray:
-    """y = L @ x2d with x2d [n_pad, C], C a multiple of the column panel."""
+                     precision=None, t_prev=None,
+                     alpha: float = 1.0) -> jnp.ndarray:
+    """y = alpha * (L @ x2d) [- t_prev] with x2d [n_pad_cols, C], C a
+    multiple of the column panel. t_prev (the fused Chebyshev recurrence
+    operand T_{k-2}, [n_pad, C] f32) subtracts inside the kernel."""
     from .cheb import resolve_precision
 
     precision = resolve_precision(precision)
@@ -188,20 +254,23 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     panels = c // panel
     nb = bsr.num_blocks
     high = precision == jax.lax.Precision.HIGH
+    fuse_prev = t_prev is not None
 
     if bsr.col_order is not None:
         # widest panel under the VMEM budget for a resident output panel
+        # (a fused t_prev panel is equally resident: halve the allowance)
+        budget = COLMAJOR_VMEM_BUDGET // (2 if fuse_prev else 1)
         cpanel = _COL_PANEL
         while (cpanel * 2 <= min(c, 1024) and c % (cpanel * 2) == 0
-               and n_pad * cpanel * 2 * 4 <= COLMAJOR_VMEM_BUDGET):
+               and n_pad * cpanel * 2 * 4 <= budget):
             cpanel *= 2
         # col-major wins only when the budget doesn't force a NARROWER
         # panel than row-major uses — a shrunken panel re-streams the
         # blocks proportionally, which outweighs the slab savings
         # (measured: bs16 +8%, bs128 with 1024->256 shrink -6%)
-        if (n_pad * cpanel * 4 <= COLMAJOR_VMEM_BUDGET
-                and cpanel >= panel):
-            return _colmajor_matmul(bsr, x2d, precision, high, cpanel)
+        if n_pad * cpanel * 4 <= budget and cpanel >= panel:
+            return _colmajor_matmul(bsr, x2d, precision, high, cpanel,
+                                    t_prev=t_prev, alpha=alpha)
 
     block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
                                       lambda j, b, br, bc, fr: (b, 0, 0),
@@ -209,20 +278,26 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     x_spec = lambda: pl.BlockSpec((BLOCK, panel),
                                   lambda j, b, br, bc, fr: (bc[b], j),
                                   memory_space=pltpu.VMEM)
+    out_like_spec = lambda: pl.BlockSpec((BLOCK, panel),
+                                         lambda j, b, br, bc, fr: (br[b], j),
+                                         memory_space=pltpu.VMEM)
     if high:
-        kernel = _spmm_kernel_bf16x3
+        kernel = _make_spmm_kernel_bf16x3(alpha, fuse_prev)
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = x2d.astype(jnp.bfloat16)
         xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        operands = (lh, ll, xh, xl)
+        operands = [lh, ll, xh, xl]
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_spmm_kernel(precision)
-        operands = (bsr.blocks, x2d)
+        kernel = _make_spmm_kernel(precision, alpha, fuse_prev)
+        operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
+    if fuse_prev:
+        operands.append(t_prev)
+        in_specs.append(out_like_spec())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -268,6 +343,32 @@ def bsr_matmul(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     return mm(x2d)
 
 
+def cheb_step(bsr: BlockSparseOperator, t1: jnp.ndarray, t0: jnp.ndarray,
+              precision=None) -> jnp.ndarray:
+    """Differentiable fused Chebyshev recurrence step
+    T_k = 2 L T_{k-1} - T_{k-2}, entirely inside the SpMM kernel — the
+    separate elementwise 2*y - t0 would round-trip the whole activation
+    through HBM once per order. t1 may be pre-downcast to the operand
+    dtype; t0 enters f32 (it seeds the f32 accumulator). VJP by global
+    symmetry of L: dt1 = 2 L g, dt0 = -g."""
+    op_dtype = bsr.blocks.dtype
+
+    @jax.custom_vjp
+    def step(a, b):
+        return _bsr_matmul_impl(bsr, a, precision, t_prev=b, alpha=2.0)
+
+    def fwd(a, b):
+        return step(a, b), None
+
+    def bwd(_, g):
+        return (_bsr_matmul_impl(bsr, g.astype(op_dtype), precision,
+                                 alpha=2.0),
+                -g)
+
+    step.defvjp(fwd, bwd)
+    return step(t1, t0)
+
+
 def _pad_amounts(n: int, b: int, f: int):
     n_pad = -(-n // BLOCK) * BLOCK
     f_pad = f
@@ -302,17 +403,22 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     from .cheb import resolve_precision
 
     prec = resolve_precision(precision)
+    c = b * f_pad
     prop = lambda t: bsr_matmul(
-        bsr, t.astype(op_dtype).reshape(n_pad, b * f_pad),
+        bsr, t.astype(op_dtype).reshape(n_pad, c),
         precision=prec).reshape(n_pad, b, f_pad)
+    step = lambda t1, t0: cheb_step(
+        bsr, t1.astype(op_dtype).reshape(n_pad, c),
+        t0.reshape(n_pad, c), precision=prec).reshape(n_pad, b, f_pad)
 
     # recurrence first, then ONE wide channel mix over all K orders
-    # (concat along features: [N, B, K*F] @ [K*F, F_out] — see cheb.py)
+    # (concat along features: [N, B, K*F] @ [K*F, F_out] — see cheb.py).
+    # Orders >= 2 run the FUSED step (2 L t1 - t0 inside the kernel).
     txs = [xt]
     if k > 1:
         txs.append(prop(xt))
     for _ in range(2, k):
-        txs.append(2.0 * prop(txs[-1]) - txs[-2])
+        txs.append(step(txs[-1], txs[-2]))
     out = jax.lax.dot_general(
         jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
         (((2,), (0,)), ((), ())),

@@ -75,6 +75,32 @@ class TestBsrMatmul:
         expected[: bsr.n] = (lap @ x[: bsr.n]).astype(np.float32)
         np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-5)
 
+    def test_fused_recurrence_step_and_vjp(self, big_graph):
+        """cheb_step computes 2 L t1 - t0 inside the kernel; its VJP is
+        (2 L g, -g) by symmetry."""
+        mesh, adj = big_graph
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        rng = np.random.default_rng(4)
+        t1 = rng.standard_normal((bsr.n_pad, 128)).astype(np.float32)
+        t0 = rng.standard_normal((bsr.n_pad, 128)).astype(np.float32)
+        got = np.asarray(pc.cheb_step(bsr, jnp.asarray(t1), jnp.asarray(t0)))
+        expected = -t0.copy()
+        expected[: bsr.n] += 2.0 * (lap @ t1[: bsr.n]).astype(np.float32)
+        # rows beyond n have no blocks: kernel yields -t0 there too (padding
+        # rows carry explicit zero blocks)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+        g = rng.standard_normal(t1.shape).astype(np.float32)
+        _, vjp = jax.vjp(lambda a, b: pc.cheb_step(bsr, a, b),
+                         jnp.asarray(t1), jnp.asarray(t0))
+        dt1, dt0 = vjp(jnp.asarray(g))
+        exp_dt1 = np.zeros_like(g)
+        exp_dt1[: bsr.n] = 2.0 * (lap.T @ g[: bsr.n]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(dt1), exp_dt1, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dt0), -g, rtol=1e-6, atol=0)
+
     def test_high_precision_bf16x3(self, big_graph):
         """precision=high runs an in-kernel bf16x3 split (3 MXU passes vs
         HIGHEST's 6) and must stay ~1e-5 of the exact product — well inside
