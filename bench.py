@@ -320,8 +320,15 @@ def main():
     parser.add_argument("--skip-torch", action="store_true",
                         help="use cached torch baseline only")
     parser.add_argument("--refresh-torch", action="store_true")
-    parser.add_argument("--scan", action="store_true",
-                        help="measure the epoch-scan path (one dispatch)")
+    parser.add_argument("--scan", action="store_true", default=True,
+                        help="measure the staged epoch-scan path (one "
+                             "dispatch per epoch over a device-resident "
+                             "dataset) — the train driver's default path, "
+                             "and immune to the relay's per-step dispatch "
+                             "latency swings (same-window: scan 4,509 vs "
+                             "per-step 3,425 meshes/sec at bs16 HIGH)")
+    parser.add_argument("--no-scan", dest="scan", action="store_false",
+                        help="measure the per-step dispatch path instead")
     parser.add_argument("--mode", default="train",
                         choices=["train", "inference", "crecon"],
                         help="inference: the batch reconstruction pipeline "
