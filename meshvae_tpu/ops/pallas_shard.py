@@ -107,33 +107,56 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
     )
 
 
+def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
+                    alpha: float, fuse_prev: bool):
+    """shard_map'd y = alpha * (L @ x) [- t_prev]: activations all-gather
+    over "sp", the local (rectangular) kernel computes this shard's rows.
+    t_prev is already row-sharded like the output, so it stays local."""
+    from .pallas_cheb import _bsr_matmul_impl
+
+    rows_local = sbsr.rows_per_shard
+
+    def local_op(blocks, brow, bcol, first):
+        return BlockSparseOperator(
+            blocks=blocks[0], block_row=brow[0], block_col=bcol[0],
+            first=first[0], n=rows_local, n_pad=rows_local,
+            n_pad_cols=sbsr.n_pad)
+
+    op_specs = (P("sp", None, None, None), P("sp", None), P("sp", None),
+                P("sp", None))
+    if fuse_prev:
+        def body(blocks, brow, bcol, first, x_shard, tprev_shard):
+            x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
+            return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
+                                    x_full, precision,
+                                    t_prev=tprev_shard, alpha=alpha)
+
+        in_specs = op_specs + (P("sp", "dp"), P("sp", "dp"))
+    else:
+        def body(blocks, brow, bcol, first, x_shard):
+            x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
+            return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
+                                    x_full, precision, alpha=alpha)
+
+        in_specs = op_specs + (P("sp", "dp"),)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("sp", "dp"), check_vma=False)
+
+
 def bsr_matmul_sharded(sbsr: ShardedBlockSparse, x2d: jnp.ndarray, mesh,
                       precision=None) -> jnp.ndarray:
     """y = L @ x2d with rows of L (and y) sharded over "sp" and columns of
     x2d sharded over "dp". x2d: [n_pad_global, C_global]; C_global must
     split evenly over dp into panel-aligned chunks (cheb_conv_pallas_sharded
     pads for this)."""
-    from .pallas_cheb import _bsr_matmul_impl
-
-    rows_local = sbsr.rows_per_shard
-
-    def body(blocks, brow, bcol, first, x_shard):
-        x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
-        local = BlockSparseOperator(
-            blocks=blocks[0], block_row=brow[0], block_col=bcol[0],
-            first=first[0], n=rows_local, n_pad=rows_local,
-            n_pad_cols=sbsr.n_pad)
-        return _bsr_matmul_impl(local, x_full, precision)
-
-    shard_spec = (P("sp", None, None, None), P("sp", None), P("sp", None),
-                  P("sp", None), P("sp", "dp"))
-    mapped = jax.shard_map(body, mesh=mesh, in_specs=shard_spec,
-                           out_specs=P("sp", "dp"), check_vma=False)
+    mapped = _mapped_product(sbsr, mesh, precision, alpha=1.0,
+                             fuse_prev=False)
+    args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
 
     @jax.custom_vjp
     def mm(x):
-        return mapped(sbsr.blocks, sbsr.block_row, sbsr.block_col,
-                      sbsr.first, x)
+        return mapped(*args, x)
 
     def fwd(x):
         return mm(x), None
@@ -141,11 +164,36 @@ def bsr_matmul_sharded(sbsr: ShardedBlockSparse, x2d: jnp.ndarray, mesh,
     def bwd(_, g):
         # L is globally symmetric: dx = L^T g = L g — the same sharded
         # product on the cotangent; no transpose kernel needed
-        return (mapped(sbsr.blocks, sbsr.block_row, sbsr.block_col,
-                       sbsr.first, g),)
+        return (mapped(*args, g),)
 
     mm.defvjp(fwd, bwd)
     return mm(x2d)
+
+
+def cheb_step_sharded(sbsr: ShardedBlockSparse, t1: jnp.ndarray,
+                      t0: jnp.ndarray, mesh, precision=None) -> jnp.ndarray:
+    """Fused sharded recurrence step T_k = 2 L T_{k-1} - T_{k-2} (see
+    pallas_cheb.cheb_step): the -T_{k-2} seed is row-sharded like the
+    output, so it never crosses the mesh. VJP by symmetry: (2 L g, -g)."""
+    op_dtype = sbsr.blocks.dtype
+    fused = _mapped_product(sbsr, mesh, precision, alpha=2.0,
+                            fuse_prev=True)
+    double = _mapped_product(sbsr, mesh, precision, alpha=2.0,
+                             fuse_prev=False)
+    args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
+
+    @jax.custom_vjp
+    def step(a, b):
+        return fused(*args, a, b)
+
+    def fwd(a, b):
+        return step(a, b), None
+
+    def bwd(_, g):
+        return double(*args, g.astype(op_dtype)), -g
+
+    step.defvjp(fwd, bwd)
+    return step(t1, t0)
 
 
 def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
@@ -179,15 +227,19 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
     # SpMM operands stream at half width (same as the single-chip path);
     # the recurrence state stays f32 (the kernel emits f32 accumulations)
     op_dtype = sbsr.blocks.dtype
+    c = b * f_pad
     prop = lambda t: bsr_matmul_sharded(
-        sbsr, t.astype(op_dtype).reshape(n_pad, b * f_pad), mesh,
+        sbsr, t.astype(op_dtype).reshape(n_pad, c), mesh,
         precision=prec).reshape(n_pad, b, f_pad)
+    step = lambda t1, t0: cheb_step_sharded(
+        sbsr, t1.astype(op_dtype).reshape(n_pad, c), t0.reshape(n_pad, c),
+        mesh, precision=prec).reshape(n_pad, b, f_pad)
 
     txs = [xt]
     if k > 1:
         txs.append(prop(xt))
     for _ in range(2, k):
-        txs.append(2.0 * prop(txs[-1]) - txs[-2])
+        txs.append(step(txs[-1], txs[-2]))
     out = jax.lax.dot_general(
         jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
         (((2,), (0,)), ((), ())),
