@@ -256,6 +256,10 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
                 return float(record["value"]), record.get("loss")
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue
+        # no JSON came back: surface the failure instead of a silent
+        # dense fallback (this hid a device-contention bug once)
+        print(f"pallas bench produced no result (rc={proc.returncode}): "
+              f"{proc.stderr[-2000:]}", file=sys.stderr)
     except subprocess.TimeoutExpired:
         print("pallas bench timed out; reporting dense", file=sys.stderr)
     except Exception as exc:
@@ -357,14 +361,18 @@ def main():
 
     if args.mode == "crecon":
         crecon_method = "dense" if args.method == "auto" else args.method
-        meshes_per_sec, _ = measure_crecon(hier, args.batch_size, args.steps,
-                                           crecon_method, args.precision,
-                                           polygon_order=polygon_order)
+        # the pallas try MUST run before this process touches the TPU —
+        # the device is single-tenant, so a subprocess started after the
+        # dense measurement dies on backend init (same ordering as train)
+        pallas_value = None
         if args.method == "auto":
             pallas_value, _ = try_pallas_subprocess(args, polygon_order,
                                                     mode="crecon")
-            if pallas_value is not None and pallas_value > meshes_per_sec:
-                meshes_per_sec = pallas_value
+        meshes_per_sec, _ = measure_crecon(hier, args.batch_size, args.steps,
+                                           crecon_method, args.precision,
+                                           polygon_order=polygon_order)
+        if pallas_value is not None and pallas_value > meshes_per_sec:
+            meshes_per_sec = pallas_value
         baseline = None
         try:
             if not (args.skip_torch and not args.refresh_torch):
@@ -392,15 +400,17 @@ def main():
 
     if args.mode == "inference":
         infer_method = "dense" if args.method == "auto" else args.method
+        # pallas try first: the TPU is single-tenant (see crecon above)
+        pallas_value = None
+        if args.method == "auto":
+            pallas_value, _ = try_pallas_subprocess(args, polygon_order,
+                                                    mode="inference")
         meshes_per_sec, _ = measure_inference(hier, args.batch_size,
                                               args.steps, infer_method,
                                               args.precision,
                                               polygon_order=polygon_order)
-        if args.method == "auto":
-            pallas_value, _ = try_pallas_subprocess(args, polygon_order,
-                                                    mode="inference")
-            if pallas_value is not None and pallas_value > meshes_per_sec:
-                meshes_per_sec = pallas_value
+        if pallas_value is not None and pallas_value > meshes_per_sec:
+            meshes_per_sec = pallas_value
         print(json.dumps({
             "metric": "inference_throughput_%s_bs%d" % (
                 "5k" if args.workload == "default" else "20k",
