@@ -117,16 +117,25 @@ class MeshDataset:
         # suffix that np.savez appends, data.py:166-173) — reproduce that:
         # per-fold normalization stats.
         norm_path = os.path.join(self.checkpoint_dir, "norm.npz")
+        stats = None
         if dtype == "train":
             mean = self.aligned.astype(np.float64).mean(axis=0)
             std = self.aligned.astype(np.float64).std(axis=0)
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            np.savez(norm_path, mean=mean, std=std)
+            stats = (mean, std)
+            from ..parallel.sharding import is_primary
+
+            if is_primary():  # multi-host: one writer on the shared FS
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                np.savez(norm_path, mean=mean, std=std)
 
         if normalize:
-            norm = np.load(norm_path, allow_pickle=True)
-            self.mean = norm["mean"].astype(np.float32)
-            self.std = norm["std"].astype(np.float32)
+            if stats is not None:  # just computed: no file round-trip
+                mean, std = stats
+            else:
+                norm = np.load(norm_path, allow_pickle=True)
+                mean, std = norm["mean"], norm["std"]
+            self.mean = mean.astype(np.float32)
+            self.std = std.astype(np.float32)
             self.x = (self.aligned - self.mean) / self.std
         else:
             self.mean = self.std = None

@@ -39,6 +39,13 @@ def initialize_multihost(coordinator_address: str | None = None,
         kwargs.update(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+    # Establish the all-device communicator NOW, while every process is
+    # still in lockstep: the backend's sub-communicator handshake has a
+    # short deadline (gloo: 30 s), and the first collective otherwise fires
+    # only after per-process compiles whose skew can exceed it.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("meshvae_multihost_init")
 
 
 def make_device_mesh(dp: int | None = None, sp: int = 1,
@@ -52,6 +59,23 @@ def make_device_mesh(dp: int | None = None, sp: int = 1,
         raise ValueError(f"mesh {dp}x{sp} needs {n} devices, have {len(devices)}")
     arr = np.array(devices[:n]).reshape(dp, sp)
     return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def is_primary() -> bool:
+    """True on the process that owns artifact writes: in a multi-host run
+    exactly one process may write checkpoints / history / logs / norm
+    stats to the shared filesystem (every process computes them; N
+    concurrent writers of the same file corrupt it)."""
+    return jax.process_index() == 0
+
+
+def sync_processes(name: str) -> None:
+    """Cross-process barrier (no-op single-process): order a primary-only
+    artifact write before the other processes read it back."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -20,6 +20,10 @@ from flax import serialization
 
 def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
                     train_loss: float, val_loss: float) -> None:
+    from ..parallel.sharding import is_primary
+
+    if not is_primary():  # multi-host: one writer per shared-FS artifact
+        return
     payload = {
         "params": params,
         "opt_state": opt_state,
@@ -58,6 +62,10 @@ def load_checkpoint(path: str, params_target: Any, opt_state_target: Any) -> dic
 
 
 def save_params(path: str, params: Any) -> None:
+    from ..parallel.sharding import is_primary
+
+    if not is_primary():  # multi-host: one writer per shared-FS artifact
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as fp:
         fp.write(serialization.to_bytes(params))

@@ -218,6 +218,8 @@ def run(config: dict, do_train: bool, do_test: bool):
     init_params = trainer.init_params(jax.random.key(seed))
     init_path = os.path.join(checkpoint_dir, "initial_weight_gcn.msgpack")
     save_params(init_path, init_params)
+    from ..parallel.sharding import sync_processes
+    sync_processes("initial_weights_gcn")  # write-before-read (multi-host)
 
     dataset_index, labels = list_meshes(config)
     skf = RepeatedStratifiedKFold(n_splits=5, n_repeats=1, random_state=seed)

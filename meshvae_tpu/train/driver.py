@@ -110,6 +110,10 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
     init_params = trainer.init_params(jax.random.key(seed))
     init_path = os.path.join(checkpoint_dir, "initial_weight.msgpack")
     save_params(init_path, init_params)
+    # multi-host: the primary wrote the snapshot every process reloads at
+    # each fold start — order the write before those reads
+    from ..parallel.sharding import sync_processes
+    sync_processes("initial_weights")
 
     dataset_index, labels = list_meshes(config)
     if not dataset_index:
@@ -240,6 +244,9 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
             write_history(checkpoint_dir, n, history)
 
         if do_test:
+            # order the primary's checkpoint / norm.npz writes (made during
+            # training) before every process reads them back
+            sync_processes(f"fold{n}_artifacts")
             test_ds = MeshDataset(
                 list(np.array(dataset_index)[test_index]), config, labels,
                 template=np.asarray(template.v), dtype="test")

@@ -116,6 +116,24 @@ class Trainer:
         else:
             self._ops_on_device = ops
             self._replicated = None
+        self._aot = {}  # multi-process AOT executables (see _call_synced)
+
+    def _call_synced(self, jit_fn, cache_key, *args):
+        """Multi-process: compile ahead-of-time, BARRIER, then execute the
+        compiled object. The backend's sub-communicator handshake has a
+        short deadline (gloo: 30 s) and fires on the first execution of
+        each compiled collective; per-process compile-time skew of a big
+        scan can exceed it, so execution must start in lockstep.
+        Single-process: the plain jit call."""
+        if jax.process_count() == 1:
+            return jit_fn(*args)
+        compiled = self._aot.get(cache_key)
+        if compiled is None:
+            compiled = jit_fn.lower(*args).compile()
+            from ..parallel.sharding import sync_processes
+            sync_processes(f"compiled_{cache_key}")
+            self._aot[cache_key] = compiled
+        return compiled(*args)
 
     def maybe_replicate(self, tree):
         """Commit a pytree (params/opt state/norm stats) as replicated over
@@ -323,7 +341,8 @@ class Trainer:
         opt_state = self.maybe_replicate(opt_state)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
-        params, opt_state, packed = self._train_scan_fn(
+        params, opt_state, packed = self._call_synced(
+            self._train_scan_fn, ("train_scan", stacked["mask"].shape),
             params, opt_state, stacked, perm, rng, norm_mean, norm_std,
             self._ops_on_device)
 
@@ -362,8 +381,9 @@ class Trainer:
         params = self.maybe_replicate(params)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
-        outs = self._eval_scan_fn(params, stacked, norm_mean, norm_std,
-                                  self._ops_on_device)
+        outs = self._call_synced(
+            self._eval_scan_fn, ("eval_scan", stacked["mask"].shape),
+            params, stacked, norm_mean, norm_std, self._ops_on_device)
         sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 6]
         err = fetch(outs["errors"])                            # [S, B, N]
         counts = sc[:, 4]

@@ -41,24 +41,39 @@ def history_record(epoch: int, begin: float, duration: float,
 
 
 def write_history(checkpoint_dir: str, fold: int, history: list[dict]) -> None:
+    from ..parallel.sharding import is_primary
+
+    if not is_primary():  # multi-host: one writer per shared-FS artifact
+        return
     with open(os.path.join(checkpoint_dir, f"history{fold}.json"), "w") as fp:
         json.dump(history, fp)
 
 
 class RunLog:
-    """Append-style text log mirroring the reference's my_log file."""
+    """Append-style text log mirroring the reference's my_log file. In a
+    multi-host run only process 0 opens the file and prints (every process
+    computes identical metrics; N interleaved writers corrupt the log)."""
 
     def __init__(self, path: str):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        self._fp = open(path, "w")
+        from ..parallel.sharding import is_primary
+
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._fp = open(path, "w")
+        else:
+            self._fp = None
 
     def print(self, *args) -> None:
+        if self._fp is None:
+            return
         text = " ".join(str(a) for a in args)
         print(text)
         print(text, file=self._fp, flush=True)
 
     def close(self) -> None:
-        self._fp.close()
+        if self._fp is not None:
+            self._fp.close()
 
 
 @contextlib.contextmanager

@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--num-processes", type=int, default=1)
     parser.add_argument("--local-devices", type=int, default=2)
     parser.add_argument("--port", type=int, default=19743)
+    parser.add_argument("--driver-dir", default="",
+                        help="run the FULL k-fold train/test driver against "
+                             "this prepared env dir (template.obj + data/ + "
+                             "ckpt dir) instead of the step-level checks")
     args = parser.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -55,6 +59,11 @@ def main():
     import numpy as np
 
     import jax.numpy as jnp
+
+    if args.driver_dir:
+        run_driver(args)
+        return
+
     from meshvae_tpu.mesh.hierarchy import build_hierarchy
     from meshvae_tpu.models.operators import build_operators
     from meshvae_tpu.models.vae import MeshVAE, VAEConfig
@@ -127,6 +136,43 @@ def main():
         "eval_error_mean": float(errors.mean()),
         "eval_error_shape": list(errors.shape),
     }))
+
+
+def run_driver(args):
+    """The FULL k-fold train+test driver under a multi-host deployment:
+    every process runs run() on the shared env dir; only the primary
+    writes artifacts (checkpoints / history / logs / norm stats), barriers
+    order the writes before cross-process reads, and the per-fold test
+    results must agree across processes."""
+    import json as _json
+    import os as _os
+
+    from meshvae_tpu.config import default_config
+    from meshvae_tpu.train.driver import run
+
+    d = args.driver_dir
+    total = args.num_processes * args.local_devices
+    config = default_config()
+    config.update({
+        "checkpoint_dir": _os.path.join(d, "ckpt"),
+        "template": _os.path.join(d, "template.obj"),
+        "root_dir": _os.path.join(d, "data"),
+        "log_file": _os.path.join(d, "ckpt", "log.txt"),
+        "folds": 2,
+        "test_size": 0.25,
+        "n_layers": 2,
+        "num_hidden": 16,
+        "num_style": 4,
+        "downsampling_factors": [2, 2],
+        "polygon_order": [3, 3, 3],
+        "num_conv_filters": [8, 16, 16],
+        "batch_size": 4,
+        "epoch": 2,
+        "data_parallel": total,
+        "hierarchy_cache_dir": _os.path.join(d, "cache"),
+    })
+    results = run(config, do_train=True, do_test=True)
+    print(_json.dumps({"process_id": args.process_id, "results": results}))
 
 
 if __name__ == "__main__":

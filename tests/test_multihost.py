@@ -19,8 +19,12 @@ RESULT_KEYS = ("step_loss", "step_error", "epoch_loss", "eval_loss",
                "eval_error_mean")
 
 
-def run_workers(num_processes: int, local_devices: int, port: int):
-    """Launch the worker N times; return the parsed JSON result lines."""
+def run_workers(num_processes: int, local_devices: int, port: int,
+                extra_args=()):
+    """Launch the worker N times; return the parsed JSON result lines.
+    The coordinator port is offset per test process to dodge TIME_WAIT
+    clashes between consecutive runs."""
+    port = port + os.getpid() % 997
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
@@ -29,7 +33,7 @@ def run_workers(num_processes: int, local_devices: int, port: int):
              "--process-id", str(i),
              "--num-processes", str(num_processes),
              "--local-devices", str(local_devices),
-             "--port", str(port)],
+             "--port", str(port), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for i in range(num_processes)
@@ -61,3 +65,44 @@ def test_two_process_matches_single_process():
 
     # eval errors were gathered across processes to full global shape
     assert multi[0]["eval_error_shape"] == single["eval_error_shape"]
+
+
+def test_full_driver_two_processes(tmp_path):
+    """The ENTIRE k-fold train+test driver under a real 2-process
+    deployment: primary-only artifact writes, write-before-read barriers,
+    staged scan epochs, gathered eval — per-fold test results must agree
+    across processes and all artifacts must exist exactly once."""
+    import numpy as np
+
+    # prepare the shared env (single-process, before any worker starts)
+    env = {k: v for k, v in os.environ.items()}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    prep = ("import sys; sys.path.insert(0, %r); sys.path.insert(0, %r)\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from conftest import make_grid_mesh\n"
+            "from meshvae_tpu.mesh.io import save_obj\n"
+            "from meshvae_tpu.data.synthetic import generate_synthetic_dataset\n"
+            "m = make_grid_mesh(8, jitter=0.05)\n"
+            "save_obj(%r, m.v, m.f)\n"
+            "generate_synthetic_dataset(m, %r, n_samples=16, seed=3)\n"
+            ) % (os.path.dirname(WORKER),
+                 os.path.dirname(os.path.dirname(os.path.abspath(WORKER))),
+                 str(tmp_path / "template.obj"), str(tmp_path / "data"))
+    subprocess.run([sys.executable, "-c", prep], check=True, env=env,
+                   timeout=300)
+
+    results = run_workers(2, 2, port=19747,
+                          extra_args=("--driver-dir", str(tmp_path)))
+    r0, r1 = results[0]["results"], results[1]["results"]
+    assert len(r0) == 2 and len(r1) == 2
+    for a, b in zip(r0, r1):
+        for key in a:
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-5,
+                                       err_msg=key)
+
+    ckpt = tmp_path / "ckpt"
+    for artifact in ("initial_weight.msgpack", "norm.npz", "log.txt",
+                     "checkpoint_1.msgpack", "checkpoint_2.msgpack",
+                     "history1.json", "history2.json"):
+        assert (ckpt / artifact).exists(), artifact
