@@ -126,7 +126,12 @@ class MeshDataset:
 
             if is_primary():  # multi-host: one writer on the shared FS
                 os.makedirs(self.checkpoint_dir, exist_ok=True)
-                np.savez(norm_path, mean=mean, std=std)
+                # temp-file + rename so a concurrent reader on another
+                # process never sees a partially-written archive
+                # (np.savez appends .npz to suffix-less paths)
+                tmp_path = norm_path + f".tmp{os.getpid()}.npz"
+                np.savez(tmp_path, mean=mean, std=std)
+                os.replace(tmp_path, norm_path)
 
         if normalize:
             if stats is not None:  # just computed: no file round-trip

@@ -115,7 +115,16 @@ def cheb_conv(
         # dense operator instead of BSR (build_operators/layouts_for_method)
         # — the whole operator is tiny and XLA fuses the propagation into
         # the recurrence, where a Pallas call would pay launch overhead and
-        # pad every level to 128 rows
+        # pad every level to 128 rows. Only that case may fall through:
+        # a missing dense layout means the operator was built for another
+        # method (e.g. cheb_method="ell") and must fail loudly, not crash
+        # inside the dense einsum with an opaque None error.
+        if op.dense is None:
+            raise ValueError(
+                "pallas layouts not materialized for this operator "
+                f"(n={op.n}): it was built without BSR blocks and has no "
+                "dense fallback — rebuild the operators with "
+                "cheb_method='pallas' (build_operators)")
         method = "dense"
 
     if method == "dense":

@@ -97,6 +97,12 @@ def put_sharded(value, sharding: NamedSharding):
     make_array_from_process_local_data(global_shape=value.shape)."""
     if not hasattr(value, "ndim"):
         return value
+    # already a committed global array with the right sharding (e.g. the
+    # previous epoch's output params being re-replicated by maybe_replicate):
+    # re-placing it would round-trip device->host->device through the relay
+    current = getattr(value, "sharding", None)
+    if current is not None and current.is_equivalent_to(sharding, value.ndim):
+        return value
     if jax.process_count() > 1:
         value = np.asarray(value)
         return jax.make_array_from_process_local_data(sharding, value,
