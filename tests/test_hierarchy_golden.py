@@ -34,9 +34,12 @@ from conftest import TEMPLATE_PATH, make_grid_mesh
 
 REF_PATH = "/root/reference/mesh_operations.py"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_PATH),
-    reason="reference checkout not mounted; golden fixtures unavailable")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.exists(REF_PATH),
+        reason="reference checkout not mounted; golden fixtures unavailable"),
+]
 
 
 class _StubAABBTree:

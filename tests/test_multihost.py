@@ -8,10 +8,14 @@ batches assembled from process-local shards (put_sharded), dp-sharded
 outputs gathered back (fetch) — end to end, without TPU hardware."""
 import json
 import os
+import socket
 import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns real multi-process deployments
 
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "multihost_worker.py")
@@ -19,38 +23,58 @@ RESULT_KEYS = ("step_loss", "step_error", "epoch_loss", "eval_loss",
                "eval_error_mean")
 
 
-def run_workers(num_processes: int, local_devices: int, port: int,
-                extra_args=()):
+def _free_port() -> int:
+    """Ask the kernel for a free TCP port (bind port 0). The port is
+    released before the workers bind it — a tiny race remains, which the
+    retry loop in run_workers absorbs."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run_workers(num_processes: int, local_devices: int, port: int = 0,
+                extra_args=(), _attempts: int = 3):
     """Launch the worker N times; return the parsed JSON result lines.
-    The coordinator port is offset per test process to dodge TIME_WAIT
-    clashes between consecutive runs."""
-    port = port + os.getpid() % 997
+    The coordinator port comes from the kernel (bind port 0); a bind clash
+    with a concurrent run retries on a fresh port."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER,
-             "--process-id", str(i),
-             "--num-processes", str(num_processes),
-             "--local-devices", str(local_devices),
-             "--port", str(port), *extra_args],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env)
-        for i in range(num_processes)
-    ]
-    results = []
-    for proc in procs:
-        out, err = proc.communicate(timeout=600)
-        assert proc.returncode == 0, (
-            f"worker failed (rc={proc.returncode}):\n{err[-4000:]}")
-        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-    return results
+    for attempt in range(_attempts):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER,
+                 "--process-id", str(i),
+                 "--num-processes", str(num_processes),
+                 "--local-devices", str(local_devices),
+                 "--port", str(port), *extra_args],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env)
+            for i in range(num_processes)
+        ]
+        results = []
+        failed = None
+        for proc in procs:
+            out, err = proc.communicate(timeout=600)
+            if proc.returncode != 0:
+                failed = (proc.returncode, err)
+                continue
+            line = [l for l in out.strip().splitlines()
+                    if l.startswith("{")][-1]
+            results.append(json.loads(line))
+        if failed is None:
+            return results
+        rc, err = failed
+        clash = ("Address already in use" in err or "EADDRINUSE" in err)
+        assert clash and attempt < _attempts - 1, (
+            f"worker failed (rc={rc}):\n{err[-4000:]}")
+    raise AssertionError("unreachable")
 
 
 def test_two_process_matches_single_process():
-    single = run_workers(1, 1, port=19744)[0]
-    multi = run_workers(2, 2, port=19745)
+    single = run_workers(1, 1)[0]
+    multi = run_workers(2, 2)
 
     # every process reports the same replicated metrics
     for key in RESULT_KEYS:
@@ -92,7 +116,7 @@ def test_full_driver_two_processes(tmp_path):
     subprocess.run([sys.executable, "-c", prep], check=True, env=env,
                    timeout=300)
 
-    results = run_workers(2, 2, port=19747,
+    results = run_workers(2, 2,
                           extra_args=("--driver-dir", str(tmp_path)))
     r0, r1 = results[0]["results"], results[1]["results"]
     assert len(r0) == 2 and len(r1) == 2

@@ -18,6 +18,8 @@ from meshvae_tpu.models.vae import MeshVAE, VAEConfig
 from benchmarks.torch_cpu_baseline import TorchChebVAE
 from parity_utils import copy_torch_weights, torch_eval_forward
 
+pytestmark = pytest.mark.slow  # full-template fixture: minutes of compile
+
 FILTERS = [16, 16, 16, 32, 32]
 K = [6, 6, 6, 6, 6]
 
