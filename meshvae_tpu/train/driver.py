@@ -44,6 +44,12 @@ def build_model_and_ops(config: dict, dtype=None):
         dtype = (jnp.bfloat16
                  if str(config.get("compute_dtype", "")) == "bfloat16"
                  else jnp.float32)
+    if not os.path.exists(config["template"]):
+        # scaled templates (template20k.obj, files/scaled20k.cfg) regenerate
+        # from the vendored template5k by deterministic subdivision
+        from ..tools.make_scaled_template import ensure_template
+
+        ensure_template(config["template"])
     template = load_obj(config["template"])
     cache_dir = config.get("hierarchy_cache_dir") or None
     hier = load_or_build_hierarchy(template, config["downsampling_factors"],
@@ -56,9 +62,17 @@ def build_model_and_ops(config: dict, dtype=None):
         cheb_method=config.get("cheb_method", "dense"),
         pool_method=config.get("pool_method", "gather"),
     )
-    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1],
-                                num_features=template.v.shape[1])
-    model = MeshVAE(cfg)
+    if str(config.get("type", "cheb_VAE")) == "joint_VAE":
+        # BASELINE config 3: disentangled VAE + cheb_cls jointly trained
+        # with latent-split supervision
+        from ..models.joint import build_joint_model
+
+        model = build_joint_model(config, coarse_verts=hier.levels[-1],
+                                  num_features=template.v.shape[1])
+    else:
+        cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1],
+                                    num_features=template.v.shape[1])
+        model = MeshVAE(cfg)
     return model, ops, hier, template
 
 
@@ -83,6 +97,12 @@ def make_trainer(config: dict, model, ops) -> Trainer:
     dp = int(config.get("data_parallel", 1))
     sp = int(config.get("seq_parallel", 1))
     mesh = make_device_mesh(dp=dp, sp=sp) if dp * sp > 1 else None
+    from ..models.joint import JointMeshVAE
+
+    if isinstance(model, JointMeshVAE):
+        from .joint import JointTrainer
+
+        return JointTrainer(model, ops, config, mesh=mesh)
     return Trainer(model, ops, config, mesh=mesh)
 
 
@@ -154,6 +174,10 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
             train_ds = MeshDataset(list(train_names), config, labels,
                                    template=np.asarray(template.v),
                                    dtype="train")
+            # the train split's constructor wrote this fold's norm.npz
+            # (primary only); barrier before every process reads it back
+            # while building the eval splits
+            sync_processes(f"norm_stats_fold{n}")
             valid_ds = MeshDataset(list(valid_names), config, labels,
                                    template=np.asarray(template.v),
                                    dtype="test")
@@ -261,8 +285,15 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                                    trainer.init_opt_state(init_params))
             params = ckpt["params"]
 
-            test_avg, errors, meshes = trainer.evaluate(
-                params, test_loader, mean, std, collect_meshes=True)
+            if config.get("scan_epoch", True):
+                # one dispatch + a handful of pulls for the whole test set
+                # (the per-batch evaluate() pays ~5 relay round-trips per
+                # batch when collecting meshes)
+                test_avg, errors, meshes = trainer.evaluate_scanned(
+                    params, test_loader, mean, std, collect_meshes=True)
+            else:
+                test_avg, errors, meshes = trainer.evaluate(
+                    params, test_loader, mean, std, collect_meshes=True)
 
             if vis:
                 _save_sex_change_meshes(checkpoint_dir, n, test_ds, meshes,

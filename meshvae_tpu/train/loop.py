@@ -84,6 +84,24 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
+def call_synced(jit_fn, aot_cache: dict, cache_key, *args):
+    """Multi-process: compile ahead-of-time, BARRIER, then execute the
+    compiled object. The backend's sub-communicator handshake has a
+    short deadline (gloo: 30 s) and fires on the first execution of
+    each compiled collective; per-process compile-time skew of a big
+    scan can exceed it, so execution must start in lockstep.
+    Single-process: the plain jit call."""
+    if jax.process_count() == 1:
+        return jit_fn(*args)
+    compiled = aot_cache.get(cache_key)
+    if compiled is None:
+        compiled = jit_fn.lower(*args).compile()
+        from ..parallel.sharding import sync_processes
+        sync_processes(f"compiled_{cache_key}")
+        aot_cache[cache_key] = compiled
+    return compiled(*args)
+
+
 class Trainer:
     """Owns the jitted steps for one (model, operators, config) triple."""
 
@@ -108,7 +126,9 @@ class Trainer:
         self._train_scan_fn = jax.jit(self._train_scan_impl,
                                       donate_argnums=(0, 1))
         self._eval_step_fn = jax.jit(self._eval_step_impl)
-        self._eval_scan_fn = jax.jit(self._eval_scan_impl)
+        # arg 5 = collect (mesh stacks in the scan outputs): static
+        self._eval_scan_fn = jax.jit(self._eval_scan_impl,
+                                     static_argnums=(5,))
         if mesh is not None:
             from ..parallel.sharding import shard_operators
             self._ops_on_device = shard_operators(ops, mesh)
@@ -119,21 +139,7 @@ class Trainer:
         self._aot = {}  # multi-process AOT executables (see _call_synced)
 
     def _call_synced(self, jit_fn, cache_key, *args):
-        """Multi-process: compile ahead-of-time, BARRIER, then execute the
-        compiled object. The backend's sub-communicator handshake has a
-        short deadline (gloo: 30 s) and fires on the first execution of
-        each compiled collective; per-process compile-time skew of a big
-        scan can exceed it, so execution must start in lockstep.
-        Single-process: the plain jit call."""
-        if jax.process_count() == 1:
-            return jit_fn(*args)
-        compiled = self._aot.get(cache_key)
-        if compiled is None:
-            compiled = jit_fn.lower(*args).compile()
-            from ..parallel.sharding import sync_processes
-            sync_processes(f"compiled_{cache_key}")
-            self._aot[cache_key] = compiled
-        return compiled(*args)
+        return call_synced(jit_fn, self._aot, cache_key, *args)
 
     def maybe_replicate(self, tree):
         """Commit a pytree (params/opt state/norm stats) as replicated over
@@ -298,13 +304,17 @@ class Trainer:
         avg["count"] = count
         return params, opt_state, avg
 
-    def stage_batches(self, loader):
+    def stage_batches(self, loader, with_index: bool = False):
         """Upload a whole epoch of batches ONCE as stacked [S, B, ...]
         device arrays (None for an empty loader). Pass the result to
         train_epoch_scanned / evaluate_scanned in place of the loader:
         subsequent epochs reshuffle ON DEVICE (shuffle_key) instead of
         re-shipping the data — host->device moves ~50 MB/s through the TPU
-        relay here, so per-epoch shipment dominates real training runs."""
+        relay here, so per-epoch shipment dominates real training runs.
+
+        with_index additionally stashes the dataset indices as a HOST
+        "index" array [S, B] (needed by evaluate_scanned's mesh
+        collection to name output files; never shipped to the device)."""
         keys = ("x", "label", "r", "s", "m", "original", "mask")
         batch_list = list(loader)
         if not batch_list:
@@ -313,8 +323,12 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            return {k: put_sharded(v, sh) for k, v in stacked.items()}
-        return {k: jnp.asarray(v) for k, v in stacked.items()}
+            staged = {k: put_sharded(v, sh) for k, v in stacked.items()}
+        else:
+            staged = {k: jnp.asarray(v) for k, v in stacked.items()}
+        if with_index:
+            staged["index"] = np.stack([b["index"] for b in batch_list])
+        return staged
 
     def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
                             norm_std, shuffle_key=None):
@@ -324,7 +338,7 @@ class Trainer:
         host batch iterable or the device-staged dict from stage_batches;
         shuffle_key (optional) re-draws the batch composition on device."""
         if isinstance(loader, dict):
-            stacked = loader
+            stacked = {k: v for k, v in loader.items() if k != "index"}
         else:
             stacked = self.stage_batches(loader)
         if stacked is None:
@@ -358,32 +372,52 @@ class Trainer:
         avg["count"] = total
         return params, opt_state, avg
 
-    def _eval_scan_impl(self, params, batches, norm_mean, norm_std, ops):
+    def _eval_scan_impl(self, params, batches, norm_mean, norm_std, ops,
+                        collect: bool = False):
+        keep = (("scalars", "errors", "recon_orig", "oppo_orig", "oppo_pred",
+                 "oppo_label") if collect else ("scalars", "errors"))
+
         def body(carry, batch):
             out = self._eval_step_impl(params, batch, norm_mean, norm_std, ops)
-            return carry, {"scalars": out["scalars"], "errors": out["errors"]}
+            return carry, {k: out[k] for k in keep}
 
         _, outs = jax.lax.scan(body, None, batches)
         return outs
 
-    def evaluate_scanned(self, params, loader, norm_mean, norm_std):
-        """evaluate() without mesh collection, as one device dispatch +
-        two device->host pulls (scalars [S, 6], errors [S, B, N]).
-        `loader` is a host batch iterable or a stage_batches dict."""
+    def evaluate_scanned(self, params, loader, norm_mean, norm_std,
+                         collect_meshes: bool = False):
+        """evaluate() as one device dispatch + a handful of device->host
+        pulls (scalars [S, 6], errors [S, B, N]; with collect_meshes also
+        the recon/oppo mesh stacks — instead of evaluate()'s ~5 pulls *per
+        batch* at ~25 ms each through the relay).
+        `loader` is a host batch iterable or a stage_batches dict (staged
+        with with_index=True when collect_meshes)."""
         if isinstance(loader, dict):
             stacked = loader
         else:
-            stacked = self.stage_batches(loader)
+            stacked = self.stage_batches(loader, with_index=collect_meshes)
+        empty = ({"loss": 0.0, "kld": 0.0, "rec_loss": 0.0,
+                  "accuracy": 0.0, "sex_change_success_rate": 0.0,
+                  "count": 0.0}, np.zeros((0, 1)))
         if stacked is None:
-            return ({"loss": 0.0, "kld": 0.0, "rec_loss": 0.0,
-                     "accuracy": 0.0, "sex_change_success_rate": 0.0,
-                     "count": 0.0}, np.zeros((0, 1)))
+            if collect_meshes:
+                return empty + ({k: np.zeros((0,)) for k in
+                                 ("recon", "oppo", "oppo_pred", "oppo_label",
+                                  "index")},)
+            return empty
+        index = stacked.get("index")
+        if collect_meshes and index is None:
+            raise ValueError("collect_meshes needs a loader or a dict from "
+                             "stage_batches(..., with_index=True)")
+        device_batches = {k: v for k, v in stacked.items() if k != "index"}
         params = self.maybe_replicate(params)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         outs = self._call_synced(
-            self._eval_scan_fn, ("eval_scan", stacked["mask"].shape),
-            params, stacked, norm_mean, norm_std, self._ops_on_device)
+            self._eval_scan_fn,
+            ("eval_scan", device_batches["mask"].shape, collect_meshes),
+            params, device_batches, norm_mean, norm_std, self._ops_on_device,
+            collect_meshes)
         sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 6]
         err = fetch(outs["errors"])                            # [S, B, N]
         counts = sc[:, 4]
@@ -396,8 +430,17 @@ class Trainer:
             "sex_change_success_rate": float(sc[:, 5].sum()) / max(total, 1.0),
             "count": total,
         }
-        mask = fetch(stacked["mask"]) > 0                      # [S, B]
+        mask = fetch(device_batches["mask"]) > 0               # [S, B]
         errors = err[mask]                                     # [valid, N]
+        if collect_meshes:
+            meshes = {
+                "recon": fetch(outs["recon_orig"])[mask],
+                "oppo": fetch(outs["oppo_orig"])[mask],
+                "oppo_pred": fetch(outs["oppo_pred"])[mask],
+                "oppo_label": fetch(outs["oppo_label"])[mask],
+                "index": np.asarray(index)[mask],
+            }
+            return avg, errors, meshes
         return avg, errors
 
     def evaluate(self, params, loader, norm_mean, norm_std,

@@ -259,6 +259,31 @@ class TestScanPaths:
             assert avg_b[k] == pytest.approx(avg_a[k], rel=1e-5), k
         np.testing.assert_allclose(err_b, err_a, rtol=1e-5, atol=1e-6)
 
+    def test_evaluate_scanned_collects_meshes(self, tiny_env):
+        """The scan path's mesh collection (driver test-with-vis) matches
+        the per-batch evaluate(collect_meshes=True) output exactly."""
+        config, template, root = tiny_env
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+        model, ops, hier, _ = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        idx, labels = list_meshes(config)
+        ds = MeshDataset(idx[:10], config, labels,
+                         template=np.asarray(template.v), dtype="train")
+        loader = BatchIterator(ds, batch_size=4)  # 3 batches, last padded
+        params = trainer.init_params(jax.random.key(0))
+
+        avg_a, err_a, mesh_a = trainer.evaluate(params, loader, ds.mean,
+                                                ds.std, collect_meshes=True)
+        avg_b, err_b, mesh_b = trainer.evaluate_scanned(
+            params, loader, ds.mean, ds.std, collect_meshes=True)
+        assert avg_b["loss"] == pytest.approx(avg_a["loss"], rel=1e-5)
+        np.testing.assert_allclose(err_b, err_a, rtol=1e-5, atol=1e-6)
+        for k in ("recon", "oppo", "oppo_pred", "oppo_label", "index"):
+            np.testing.assert_allclose(np.asarray(mesh_b[k], np.float64),
+                                       np.asarray(mesh_a[k], np.float64),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+        assert mesh_b["recon"].shape == (10, template.v.shape[0], 3)
+
     def test_train_epoch_scanned_matches_loop(self, tiny_env):
         """Same rng, same batches: the scanned epoch equals the python-loop
         epoch (identical math, one dispatch)."""
