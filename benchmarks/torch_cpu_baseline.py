@@ -107,32 +107,45 @@ class TorchChebVAE(torch.nn.Module):
         out = torch.sparse.mm(mat, flat)
         return out.reshape(mat.shape[0], b, f).permute(1, 0, 2)
 
-    def forward(self, x, y):
+    def encode_h(self, x):
         b = x.shape[0]
-        x_gt = x
         for i in range(self.n_layers):
             x = torch.relu(self._cheb(x, self.lap[i], self.enc_w[i], self.enc_b[i]))
             x = self._pool(x, self.down[i])
-        h = self.dropout(torch.relu(self.enc_lin(x.reshape(b, -1))))
-        y_hat = torch.softmax(self.classifier_layer(self.dropout(h)), dim=1)
-        hy = torch.cat([y, h], -1)
-        mu, logvar = self.z_mean(hy), self.z_log_var(hy)
-        z = torch.randn_like(mu) * torch.exp(0.5 * logvar) + mu
-        d = self.dropout(torch.relu(self.dec_lin(torch.cat([y, z], -1))))
+        return self.dropout(torch.relu(self.enc_lin(x.reshape(b, -1))))
+
+    def decode_z(self, yz):
+        b = yz.shape[0]
+        d = self.dropout(torch.relu(self.dec_lin(yz)))
         d = self.dropout(torch.relu(self.dec_lin_2(d)))
         d = d.reshape(b, self.coarse, self.chain[-1])
         for i in range(self.n_layers):
             d = self._pool(d, self.up[-i - 1])
             d = torch.relu(self._cheb(d, self.lap[self.n_layers - i - 1],
                                       self.dec_w[i], self.dec_b[i]))
-        recon = self._cheb(d, self.lap_final, self.dec_w[-1], None)
+        return self._cheb(d, self.lap_final, self.dec_w[-1], None)
 
+    def forward_parts(self, x, y):
+        h = self.encode_h(x)
+        y_hat = torch.softmax(self.classifier_layer(self.dropout(h)), dim=1)
+        hy = torch.cat([y, h], -1)
+        mu, logvar = self.z_mean(hy), self.z_log_var(hy)
+        z = torch.randn_like(mu) * torch.exp(0.5 * logvar) + mu
+        recon = self.decode_z(torch.cat([y, z], -1))
+        return recon, y_hat, mu, logvar, z
+
+    @staticmethod
+    def loss_from_parts(x_gt, y, recon, y_hat, mu, logvar):
         kld = -0.5 * torch.sum(1 + logvar - mu**2 - logvar.exp(), -1)
         log_sigma = 1.0009118819656134
         rec = (0.5 * ((recon - x_gt) / np.exp(log_sigma)) ** 2
                + log_sigma + 0.5 * np.log(2 * np.pi)).sum(-1).sum(-1)
         logqy = (y_hat * y).sum(-1).log()
         return (kld + rec - 2 * logqy).mean()
+
+    def forward(self, x, y):
+        recon, y_hat, mu, logvar, _ = self.forward_parts(x, y)
+        return self.loss_from_parts(x, y, recon, y_hat, mu, logvar)
 
 
 def measure_torch_baseline(hier, batch_size=16, steps=5, warmup=2,
@@ -201,6 +214,62 @@ class TorchChebGCN(torch.nn.Module):
             x = self._pool(x, self.down[i])
         x = torch.relu(self.enc_lin(x.reshape(b, -1)))
         return self.cls_layer(x)
+
+
+class _GradReverse(torch.autograd.Function):
+    @staticmethod
+    def forward(ctx, x):
+        return x
+
+    @staticmethod
+    def backward(ctx, g):
+        return -g
+
+
+def measure_torch_joint(hier, batch_size=16, steps=5, warmup=2, seed=0,
+                        polygon_order=6, latent=16, latent_split=2) -> float:
+    """meshes/sec of the torch-CPU *joint* train step (BASELINE config 3):
+    VAE forward + latent-split supervised/adversarial heads + live GCN on
+    difference features + 3 CE terms + backward + Adam over everything —
+    the same math as meshvae_tpu.models.joint."""
+    torch.manual_seed(seed)
+    vae = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32],
+                       K=[polygon_order] * 5, num_hidden=512, latent=latent,
+                       num_classes=2, dropout=0.2)
+    gcn = TorchChebGCN(hier, filters=[16, 16, 16, 32, 32],
+                       K=[polygon_order] * 5)
+    sup_head = torch.nn.Linear(latent_split, 2)
+    adv_head = torch.nn.Linear(latent - latent_split, 2)
+    params = (list(vae.parameters()) + list(gcn.parameters())
+              + list(sup_head.parameters()) + list(adv_head.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3, weight_decay=5e-4)
+    ce = torch.nn.CrossEntropyLoss()
+
+    n0 = hier.levels[0]
+    x = torch.randn(batch_size, n0, 3)
+    labels = torch.randint(0, 2, (batch_size,))
+    y = torch.eye(2)[labels]
+
+    def step():
+        opt.zero_grad()
+        recon, y_hat, mu, logvar, z = vae.forward_parts(x, y)
+        base = vae.loss_from_parts(x, y, recon, y_hat, mu, logvar)
+        sup = ce(sup_head(mu[:, :latent_split]), labels)
+        adv = ce(adv_head(_GradReverse.apply(mu[:, latent_split:])), labels)
+        recon_oppo = vae.decode_z(torch.cat([1.0 - y, z], -1))
+        diff = torch.cat([x - recon_oppo, x - recon], -1)
+        cls = ce(gcn(diff), labels)
+        loss = base + sup + 0.1 * adv + cls
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
 
 
 def measure_torch_crecon(hier, batch_size=16, steps=5, warmup=2, seed=0,

@@ -59,6 +59,11 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "weight_decay": (float, 5e-4),
     "dropout": (float, 0.2),
     "epoch": (int, 300),
+    # --- joint disentangled VAE + classifier (BASELINE config 3) ---------
+    "latent_split": (int, 2),            # supervised latent dims (type=joint_VAE)
+    "sup_weight": (float, 1.0),          # CE weight: supervised latent slice
+    "adv_weight": (float, 0.1),          # CE weight: adversarial free slice
+    "cls_weight": (float, 1.0),          # CE weight: joint GCN classifier
     # --- framework-specific additions (absent from reference configs) ---
     "cheb_method": (str, "dense"),       # dense | ell | pallas
     "pool_method": (str, "gather"),      # gather | dense
