@@ -37,7 +37,8 @@ def main():
     from meshvae_tpu.config import apply_overrides, read_config
     from meshvae_tpu.infer.driver import run_inference
     from meshvae_tpu.train.checkpoint import checkpoint_path, load_params
-    from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+    from meshvae_tpu.train.driver import (build_model_and_ops,
+                                          maybe_init_multihost, make_trainer)
 
     if args.conf is None:
         args.conf = os.path.join(os.path.dirname(__file__), "files",
@@ -53,6 +54,7 @@ def main():
                                             config["checkpoint_dir"])
     config["root_dir"] = args.data_dir
 
+    maybe_init_multihost(config)
     model, ops, hier, template = build_model_and_ops(config)
     trainer = make_trainer(config, model, ops)
 
@@ -78,6 +80,7 @@ def main():
         write_error_list=args.error_list or not any_selected,
         write_inference=args.inference or not any_selected,
         save_meshes=not args.no_meshes,
+        mesh=trainer.mesh,  # dp/sp mesh from data_parallel/seq_parallel
     )
 
 

@@ -10,7 +10,10 @@ recon/gt/oppo .obj triples under <output>/sex_change/.
 TPU-first: one jitted step computes classification, reconstruction,
 counterfactual, and the per-mesh mean/max original-pose errors — the
 encoder runs once (the reference runs it twice, once inside classifier_ and
-once inside forward)."""
+once inside forward). Distribution mirrors the Trainer: pass a device mesh
+and batches shard over "dp" (with operators row-sharded over "sp"); in a
+multi-host run every process computes the full pipeline and only the
+primary writes artifacts."""
 from __future__ import annotations
 
 import json
@@ -24,15 +27,30 @@ import jax.numpy as jnp
 from ..data.dataset import BatchIterator, MeshDataset, list_meshes
 from ..mesh.io import save_obj
 from ..mesh.procrustes import apply_inverse_similarity
+from ..parallel.sharding import (batch_sharding, fetch, is_primary,
+                                 put_sharded, replicated_sharding)
 from ..train.checkpoint import checkpoint_path, load_params, save_params
 
 
 class InferenceEngine:
-    """Jitted predicted-label reconstruction + sex-swap counterfactual."""
+    """Jitted predicted-label reconstruction + sex-swap counterfactual.
 
-    def __init__(self, model, ops):
+    mesh: optional jax.sharding.Mesh with ("dp", "sp") axes — batch shards
+    over dp (config data_parallel), graph operators row-shard over sp
+    (seq_parallel), exactly the Trainer's layout (BASELINE config 4 at
+    batch 128 across a slice)."""
+
+    def __init__(self, model, ops, mesh=None):
         self.model = model
-        self.ops = ops
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_operators
+
+            self.ops = shard_operators(ops, mesh)
+            self._replicated = replicated_sharding(mesh)
+        else:
+            self.ops = ops
+            self._replicated = None
         self._step = jax.jit(self._step_impl)
 
     def _step_impl(self, params, batch, norm_mean, norm_std, ops):
@@ -66,6 +84,20 @@ class InferenceEngine:
             "err_max": err.max(axis=-1),
         }
 
+    def put_batch(self, batch: dict) -> dict:
+        """Host batch -> device, batch axis sharded over dp when meshed."""
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return {k: put_sharded(np.asarray(v), sh)
+                    for k, v in batch.items() if k != "index"}
+        return {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+
+    def replicate(self, tree):
+        if self._replicated is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda leaf: put_sharded(leaf, self._replicated), tree)
+
     def step(self, params, batch, norm_mean, norm_std):
         return self._step(params, batch, norm_mean, norm_std, self.ops)
 
@@ -73,34 +105,37 @@ class InferenceEngine:
 def run_inference(net_params, model, ops, output_path: str, mean, std,
                   config: dict, template, batch_size: int, faces,
                   write_pred: bool = True, write_error_list: bool = True,
-                  write_inference: bool = True, save_meshes: bool = True):
+                  write_inference: bool = True, save_meshes: bool = True,
+                  mesh=None):
     dataset_index, labels = list_meshes(config, sex_from_filename=False)
     dataset = MeshDataset(dataset_index, config, labels,
                           template=np.asarray(template), dtype="test")
     loader = BatchIterator(dataset, batch_size, shuffle=False)
 
-    engine = InferenceEngine(model, ops)
-    mean = jnp.asarray(mean)
-    std = jnp.asarray(std)
+    engine = InferenceEngine(model, ops, mesh=mesh)
+    net_params = engine.replicate(net_params)
+    mean = engine.replicate(jnp.asarray(mean))
+    std = engine.replicate(jnp.asarray(std))
 
     results: dict[str, dict] = {}
     pred_sex: dict[str, str] = {}
     error_dict: dict[str, str] = {}
 
+    write = is_primary()  # multi-host: one writer on the shared FS
     mesh_dir = os.path.join(output_path, "sex_change")
-    if save_meshes:
-        os.makedirs(mesh_dir, exist_ok=True)
-    os.makedirs(output_path, exist_ok=True)
+    if write:
+        if save_meshes:
+            os.makedirs(mesh_dir, exist_ok=True)
+        os.makedirs(output_path, exist_ok=True)
 
     for batch in loader:
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
-        out = engine.step(net_params, jbatch, mean, std)
+        out = engine.step(net_params, engine.put_batch(batch), mean, std)
         keep = np.asarray(batch["mask"]) > 0
-        preds = np.asarray(out["pred"])[keep]
-        err_mean = np.asarray(out["err_mean"])[keep]
-        err_max = np.asarray(out["err_max"])[keep]
-        recon = np.asarray(out["recon_orig"])[keep]
-        oppo = np.asarray(out["oppo_orig"])[keep]
+        preds = fetch(out["pred"])[keep]
+        err_mean = fetch(out["err_mean"])[keep]
+        err_max = fetch(out["err_max"])[keep]
+        recon = fetch(out["recon_orig"])[keep]
+        oppo = fetch(out["oppo_orig"])[keep]
         indices = np.asarray(batch["index"])[keep]
 
         for i, ds_idx in enumerate(indices):
@@ -116,7 +151,7 @@ def run_inference(net_params, model, ops, output_path: str, mean, std,
             pred_sex[path] = str(preds[i])
             error_dict[path] = format(err_mean[i], ".4f")
 
-            if save_meshes:
+            if save_meshes and write:
                 stem = name.split(".")[0]
                 save_obj(os.path.join(mesh_dir, stem + "_recon.obj"),
                          recon[i], faces)
@@ -125,13 +160,13 @@ def run_inference(net_params, model, ops, output_path: str, mean, std,
                 save_obj(os.path.join(mesh_dir, stem + ".obj"),
                          oppo[i], faces)
 
-    if write_pred:
+    if write_pred and write:
         with open(os.path.join(output_path, "pred.json"), "w") as fp:
             json.dump(pred_sex, fp)
-    if write_error_list:
+    if write_error_list and write:
         with open(os.path.join(output_path, "error_list.json"), "w") as fp:
             json.dump(error_dict, fp)
-    if write_inference:
+    if write_inference and write:
         with open(os.path.join(output_path, "inference.json"), "w") as fp:
             json.dump(results, fp)
     return results

@@ -55,10 +55,16 @@ def estimate_diff(vae: MeshVAE, vae_params, x, labels, ops, train: bool):
 
 
 class CreconTrainer:
-    def __init__(self, gcn: ChebGCN, vae: MeshVAE, ops, config: dict):
+    """mesh: optional ("dp", "sp") device mesh — batches shard over dp,
+    operators row-shard over sp, params/frozen-VAE weights replicate,
+    exactly the VAE Trainer's layout (the reference is single-device,
+    crecon.py:34; distribution is framework-added)."""
+
+    def __init__(self, gcn: ChebGCN, vae: MeshVAE, ops, config: dict,
+                 mesh=None):
         self.gcn = gcn
         self.vae = vae
-        self.ops = ops
+        self.mesh = mesh
         self.scan_epoch = bool(config.get("scan_epoch", True))
         self.optimizer = make_optimizer(float(config["learning_rate"]),
                                         float(config["weight_decay"]))
@@ -66,6 +72,32 @@ class CreconTrainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0, 1))
         self._eval_scan = jax.jit(self._eval_scan_impl)
+        if mesh is not None:
+            from ..parallel.sharding import (replicated_sharding,
+                                             shard_operators)
+            self.ops = shard_operators(ops, mesh)
+            self._replicated = replicated_sharding(mesh)
+        else:
+            self.ops = ops
+            self._replicated = None
+        self._aot = {}  # multi-process AOT executables (loop.call_synced)
+
+    def maybe_replicate(self, tree):
+        if self._replicated is None:
+            return tree
+        from ..parallel.sharding import put_sharded
+
+        return jax.tree_util.tree_map(
+            lambda leaf: put_sharded(leaf, self._replicated), tree)
+
+    def _put(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            from ..parallel.sharding import batch_sharding, put_sharded
+
+            sh = batch_sharding(self.mesh)
+            return {k: put_sharded(np.asarray(v), sh)
+                    for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def init_params(self, rng_key):
         n0 = self.ops.num_nodes[0]
@@ -140,17 +172,31 @@ class CreconTrainer:
     def stage_batches(self, loader):
         """Upload a whole epoch of batches once as stacked [S, B, ...]
         device arrays (None when empty); run_epoch takes the result in
-        place of a loader so later epochs skip the host->device shipment."""
+        place of a loader so later epochs skip the host->device shipment.
+        Under a mesh the batch axis shards over dp."""
         keys = ("x", "label", "mask")
         batch_list = list(loader)
         if not batch_list:
             return None
-        return {k: jnp.asarray(np.stack([b[k] for b in batch_list]))
-                for k in keys}
+        stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import put_sharded
+
+            sh = NamedSharding(self.mesh, P(None, "dp"))
+            return {k: put_sharded(v, sh) for k, v in stacked.items()}
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
 
     def run_epoch(self, params, opt_state, vae_params, loader, train: bool,
                   shuffle_key=None):
+        from ..parallel.sharding import fetch
+        from .loop import call_synced
+
         keys = ("x", "label", "mask")
+        params = self.maybe_replicate(params)
+        opt_state = self.maybe_replicate(opt_state)
+        vae_params = self.maybe_replicate(vae_params)
         if self.scan_epoch:
             stacked = (loader if isinstance(loader, dict)
                        else self.stage_batches(loader))
@@ -161,23 +207,28 @@ class CreconTrainer:
                 perm = (jax.random.permutation(shuffle_key, n_samples)
                         if shuffle_key is not None
                         else jnp.arange(n_samples))
-                params, opt_state, m = self._train_scan(
+                params, opt_state, m = call_synced(
+                    self._train_scan, self._aot,
+                    ("crecon_train_scan", stacked["mask"].shape),
                     params, opt_state, vae_params, stacked, perm, self.ops)
             else:
-                m = self._eval_scan(params, vae_params, stacked, self.ops)
-            avg_loss, acc = self._averages(np.asarray(m, np.float64))  # 1 pull
+                m = call_synced(
+                    self._eval_scan, self._aot,
+                    ("crecon_eval_scan", stacked["mask"].shape),
+                    params, vae_params, stacked, self.ops)
+            avg_loss, acc = self._averages(fetch(m).astype(np.float64))
             return params, opt_state, avg_loss, acc
 
         rows = []
         for batch in loader:
-            jb = {k: jnp.asarray(batch[k]) for k in keys}
+            jb = self._put({k: batch[k] for k in keys})
             if train:
                 params, opt_state, m = self._train_step(params, opt_state,
                                                         vae_params, jb,
                                                         self.ops)
             else:
                 m = self._eval_step(params, vae_params, jb, self.ops)
-            rows.append(np.asarray(m, np.float64))  # one pull per step
+            rows.append(fetch(m).astype(np.float64))  # one pull per step
         if not rows:
             return params, opt_state, 0.0, 0.0
         avg_loss, acc = self._averages(np.stack(rows))
@@ -185,6 +236,9 @@ class CreconTrainer:
 
 
 def run(config: dict, do_train: bool, do_test: bool):
+    from .driver import maybe_init_multihost
+
+    maybe_init_multihost(config)
     checkpoint_dir = config["checkpoint_dir"]
     os.makedirs(checkpoint_dir, exist_ok=True)
     seed = int(config["random_seeds"])
@@ -197,7 +251,12 @@ def run(config: dict, do_train: bool, do_test: bool):
         config, coarse_verts=hier.levels[-1],
         num_features=2 * template.v.shape[1])
     gcn = ChebGCN(gcn_cfg)
-    trainer = CreconTrainer(gcn, vae, ops, config)
+    from ..parallel.sharding import make_device_mesh
+
+    dp = int(config.get("data_parallel", 1))
+    sp = int(config.get("seq_parallel", 1))
+    device_mesh = make_device_mesh(dp=dp, sp=sp) if dp * sp > 1 else None
+    trainer = CreconTrainer(gcn, vae, ops, config, mesh=device_mesh)
 
     # load the frozen pretrained VAE (crecon.py:240-246)
     vae_ckpt = config["checkpoint_file"]
@@ -240,6 +299,9 @@ def run(config: dict, do_train: bool, do_test: bool):
             train_ds = MeshDataset(list(train_names), config, labels,
                                    template=np.asarray(template.v),
                                    dtype="train")
+            # norm.npz write-before-read barrier (primary wrote it in the
+            # train-split constructor; eval splits read it back)
+            sync_processes(f"norm_stats_gcn_fold{n}")
             valid_ds = MeshDataset(list(valid_names), config, labels,
                                    template=np.asarray(template.v),
                                    dtype="test")
@@ -270,6 +332,9 @@ def run(config: dict, do_train: bool, do_test: bool):
                           "acc ", va_acc)
 
         if do_test:
+            # order the primary's checkpoint / norm.npz writes before the
+            # reads below (same treatment as the VAE driver)
+            sync_processes(f"gcn_fold{n}_artifacts")
             if not do_train:
                 ck = load_checkpoint(checkpoint_path(checkpoint_dir, n),
                                      copy.deepcopy(init_params),

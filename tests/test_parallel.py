@@ -219,6 +219,96 @@ class TestScannedPathsUnderMesh:
         np.testing.assert_allclose(err8, err1, rtol=1e-4, atol=1e-5)
 
 
+class TestInferencePipelineParallel:
+    """BASELINE config 4 (batch inference) under dp/sp sharding: the
+    InferenceEngine step must equal the single-device result."""
+
+    def _infer_batch(self, batch):
+        return {k: batch[k] for k in ("x", "r", "s", "m", "original", "mask")}
+
+    def _run(self, model, ops, batch, mean, std, dmesh):
+        from meshvae_tpu.infer.driver import InferenceEngine
+
+        engine = InferenceEngine(model, ops, mesh=dmesh)
+        params = model.init({"params": jax.random.key(0)},
+                            jnp.zeros((1,) + batch["x"].shape[1:]),
+                            jnp.zeros((1, 2)), ops, train=False)
+        params = engine.replicate(params)
+        out = engine.step(params, engine.put_batch(self._infer_batch(batch)),
+                          engine.replicate(jnp.asarray(mean)),
+                          engine.replicate(jnp.asarray(std)))
+        from meshvae_tpu.parallel.sharding import fetch
+        return {k: fetch(v) for k, v in out.items()}
+
+    def test_dp8_matches_single_device(self, setup):
+        model, ops, config, batch, mean, std = setup
+        out1 = self._run(model, ops, batch, mean, std, None)
+        out8 = self._run(model, ops, batch, mean, std, make_device_mesh(dp=8))
+        for k in ("pred", "recon_orig", "oppo_orig", "err_mean", "err_max"):
+            np.testing.assert_allclose(out8[k], out1[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=k)
+
+    def test_dp4_sp2_matches_single_device(self, setup):
+        model, ops, config, batch, mean, std = setup
+        out1 = self._run(model, ops, batch, mean, std, None)
+        outm = self._run(model, ops, batch, mean, std,
+                         make_device_mesh(dp=4, sp=2))
+        for k in ("pred", "recon_orig", "err_mean"):
+            np.testing.assert_allclose(outm[k], out1[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=k)
+
+
+class TestCreconParallel:
+    """The crecon second-stage step (BASELINE config 2) under dp/sp: train
+    step and scanned epoch must equal single-device."""
+
+    def _build(self, setup, dmesh):
+        from meshvae_tpu.mesh.hierarchy import build_hierarchy
+        from meshvae_tpu.models.gcn import ChebGCN, GCNConfig
+        from meshvae_tpu.train.crecon_driver import CreconTrainer
+
+        model, ops, config, batch, mean, std = setup
+        hier = build_hierarchy(make_grid_mesh(8, jitter=0.05), [2, 2])
+        cfg = dict(config, learning_rate=1e-4, scan_epoch=True)
+        gcn = ChebGCN(GCNConfig.from_config(cfg, coarse_verts=hier.levels[-1],
+                                            num_features=6))
+        trainer = CreconTrainer(gcn, model, ops, cfg, mesh=dmesh)
+        vae_params = model.init({"params": jax.random.key(0)},
+                                jnp.zeros((1,) + batch["x"].shape[1:]),
+                                jnp.zeros((1, 2)), ops, train=False)
+        return trainer, vae_params
+
+    def _epoch(self, setup, dmesh):
+        model, ops, config, batch, mean, std = setup
+        trainer, vae_params = self._build(setup, dmesh)
+        params = trainer.init_params(jax.random.key(1))
+        opt_state = trainer.optimizer.init(params)
+        loader = [{k: batch[k] for k in ("x", "label", "mask")}
+                  for _ in range(3)]
+        params, opt_state, loss, acc = trainer.run_epoch(
+            params, opt_state, vae_params, loader, train=True)
+        return params, loss, acc
+
+    def test_dp8_epoch_matches_single_device(self, setup):
+        p1, loss1, acc1 = self._epoch(setup, None)
+        p8, loss8, acc8 = self._epoch(setup, make_device_mesh(dp=8))
+        assert loss8 == pytest.approx(loss1, rel=1e-4)
+        assert acc8 == pytest.approx(acc1, abs=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dp4_sp2_epoch_matches_single_device(self, setup):
+        p1, loss1, acc1 = self._epoch(setup, None)
+        pm, lossm, accm = self._epoch(setup, make_device_mesh(dp=4, sp=2))
+        assert lossm == pytest.approx(loss1, rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestMultihostInit:
     """maybe_init_multihost plumbs config -> jax.distributed.initialize
     (auto-detect when fields are unset, explicit otherwise)."""
