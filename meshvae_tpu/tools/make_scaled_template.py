@@ -1,9 +1,49 @@
 """Generate the ~20k-vertex scaled template by midpoint subdivision:
-python -m meshvae_tpu.tools.make_scaled_template [src.obj] [dst.obj]"""
+python -m meshvae_tpu.tools.make_scaled_template [src.obj] [dst.obj]
+
+The train driver also calls ensure_template() so `main.py -c
+files/scaled20k.cfg` works from a clean checkout: a missing
+template20k.obj regenerates from its vendored template5k sibling
+(deterministic midpoint subdivision; generated-then-cached exactly like the
+hierarchy cache)."""
+import os
 import sys
 
 from ..mesh.io import load_obj, save_obj
 from ..mesh.subdivide import subdivide_midpoint
+
+
+def ensure_template(path: str) -> None:
+    """Auto-generate a missing scaled template. A path of the form
+    .../templateNk.obj with a vendored template5k.obj sibling is produced
+    by repeated midpoint subdivision (5k -> 20k -> 80k: x4 vertices per
+    round). Multi-host safe: the primary writes, everyone barriers."""
+    if os.path.exists(path):
+        return
+    name = os.path.basename(path)
+    if not (name.startswith("template") and name.endswith("k.obj")):
+        return
+    src = os.path.join(os.path.dirname(path), "template5k.obj")
+    if not os.path.exists(src) or os.path.abspath(src) == os.path.abspath(path):
+        return
+    try:
+        target_k = int(name[len("template"):-len("k.obj")])
+    except ValueError:
+        return
+    from ..parallel.sharding import is_primary, sync_processes
+
+    if is_primary():
+        mesh = load_obj(src)
+        k = 5
+        while k < target_k:
+            mesh = subdivide_midpoint(mesh)
+            k *= 4
+        tmp = path + f".tmp{os.getpid()}"
+        save_obj(tmp, mesh.v, mesh.f)
+        os.replace(tmp, path)
+        print(f"generated {path}: {mesh.num_vertices} vertices "
+              f"(midpoint subdivision of {src})")
+    sync_processes(f"scaled_template_{name}")
 
 
 def main():

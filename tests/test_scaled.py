@@ -1,0 +1,120 @@
+"""Scaled workload (BASELINE.json config 5): the 20k-vertex / K=10 shapes.
+
+Proves `files/scaled20k.cfg` works from a clean checkout: the 20k template
+auto-generates from the vendored template5k (ensure_template), and one
+dp x sp sharded train step runs at the full scaled shapes on the virtual
+8-device CPU mesh."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshvae_tpu.mesh.io import load_obj
+from meshvae_tpu.tools.make_scaled_template import ensure_template
+
+TEMPLATE5K = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "template", "template5k.obj")
+
+
+class TestEnsureTemplate:
+    def test_generates_20k_from_5k_sibling(self, tmp_path):
+        tdir = tmp_path / "template"
+        tdir.mkdir()
+        shutil.copy(TEMPLATE5K, tdir / "template5k.obj")
+        dst = str(tdir / "template20k.obj")
+        ensure_template(dst)
+        assert os.path.exists(dst)
+        mesh = load_obj(dst)
+        # midpoint subdivision: V' = V + E = 4998 + 14994, F' = 4 * 9996
+        assert mesh.v.shape[0] == 19992
+        assert mesh.f.shape[0] == 39984
+
+    def test_noop_when_present_or_unrecognized(self, tmp_path):
+        # existing file untouched
+        p = tmp_path / "template20k.obj"
+        p.write_text("v 0 0 0\n")
+        ensure_template(str(p))
+        assert p.read_text() == "v 0 0 0\n"
+        # no template5k sibling -> silently does nothing
+        q = tmp_path / "sub" / "template20k.obj"
+        q.parent.mkdir()
+        ensure_template(str(q))
+        assert not q.exists()
+        # non-template name -> nothing
+        r = tmp_path / "sub" / "mesh.obj"
+        ensure_template(str(r))
+        assert not r.exists()
+
+
+@pytest.mark.slow
+class TestScaled20kStep:
+    def test_dp_sp_train_step_at_scale(self, tmp_path):
+        """One dp4 x sp2 train step at the scaled20k.cfg shapes (19992
+        vertices, K=10, 4 layers): hierarchy builds, operators shard, the
+        step compiles and produces a finite loss. cheb_method="ell" keeps
+        the CPU run tractable (the dense level-0 operator would be 1.6 GB;
+        the sharded Pallas kernel is certified by test_parallel and the
+        driver's dryrun_multichip)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
+        from meshvae_tpu.models.operators import build_operators
+        from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+        from meshvae_tpu.parallel.sharding import make_device_mesh
+        from meshvae_tpu.train.loop import Trainer
+
+        tdir = tmp_path / "template"
+        tdir.mkdir()
+        shutil.copy(TEMPLATE5K, tdir / "template5k.obj")
+        dst = str(tdir / "template20k.obj")
+        ensure_template(dst)
+        template = load_obj(dst)
+
+        hier = load_or_build_hierarchy(template, [4, 4, 4, 4],
+                                       cache_dir=str(tmp_path / "cache"))
+        assert hier.levels[0] == 19992
+        config = {
+            "num_conv_filters": [16, 16, 16, 32, 32],
+            "polygon_order": [10] * 5,
+            "n_layers": 4,
+            "num_hidden": 512,
+            "num_style": 16,
+            "num_classes": 2,
+            "dropout": 0.2,
+            "cheb_method": "ell",
+            "pool_method": "gather",
+            "learning_rate": 1e-3,
+            "weight_decay": 5e-4,
+        }
+        ops = build_operators(hier, cheb_method="ell", pool_method="gather")
+        model = MeshVAE(VAEConfig.from_config(config,
+                                              coarse_verts=hier.levels[-1]))
+        mesh = make_device_mesh(dp=4, sp=2)
+        trainer = Trainer(model, ops, config, mesh=mesh)
+
+        rng = np.random.default_rng(0)
+        bs, n0 = 8, hier.levels[0]
+        batch = {
+            "x": rng.standard_normal((bs, n0, 3)).astype(np.float32),
+            "label": rng.integers(0, 2, bs).astype(np.int32),
+            "r": np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1)),
+            "s": np.ones(bs, np.float32),
+            "m": np.zeros((bs, 1, 3), np.float32),
+            "original": rng.standard_normal((bs, n0, 3)).astype(np.float32),
+            "mask": np.ones(bs, np.float32),
+        }
+        params = trainer.init_params(jax.random.key(0))
+        opt_state = trainer.init_opt_state(params)
+        params = trainer.maybe_replicate(params)
+        opt_state = trainer.maybe_replicate(opt_state)
+        mean = trainer.maybe_replicate(jnp.zeros((n0, 3), jnp.float32))
+        std = trainer.maybe_replicate(jnp.ones((n0, 3), jnp.float32))
+        params, opt_state, metrics = trainer._train_step(
+            params, opt_state, trainer._put(batch), jax.random.key(1),
+            mean, std)
+        loss = float(np.asarray(metrics)[0])
+        assert np.isfinite(loss)
