@@ -105,3 +105,44 @@ class TestDiffPool:
         assert pooled.shape == (2, 8, 8)
         assert coarse.shape == (8, 8)
         assert float(loss) >= 0
+
+
+class TestPC2Mesh:
+    """Equivalent of the reference's dead open3d ball-pivot pc2mesh
+    (utils.py:44-54), rebuilt on scipy alpha shapes."""
+
+    def test_reconstructs_ball_surface(self):
+        import numpy as np
+        from meshvae_tpu.models.experimental import pc2mesh
+
+        # uniform samples of a solid ball: the alpha-shape boundary is the
+        # sphere surface triangulated over the outermost samples
+        rng = np.random.default_rng(0)
+        n = 600
+        v = rng.standard_normal((n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = v * rng.uniform(0, 1, (n, 1)) ** (1 / 3)
+        verts, faces = pc2mesh(pts)
+        assert verts.shape == (n, 3)
+        assert faces.shape[0] > 100
+        assert faces.min() >= 0 and faces.max() < n
+        # the boundary of the alpha complex is (near-)2-manifold: edges
+        # shared by exactly two faces
+        edges = {}
+        for f in faces:
+            for e in ((f[0], f[1]), (f[0], f[2]), (f[1], f[2])):
+                e = tuple(sorted(e))
+                edges[e] = edges.get(e, 0) + 1
+        counts = np.asarray(list(edges.values()))
+        assert (counts == 2).mean() > 0.9
+        # boundary vertices sit near the unit sphere
+        r = np.linalg.norm(pts[np.unique(faces)], axis=1)
+        assert r.mean() > 0.7
+
+    def test_rejects_degenerate_input(self):
+        import numpy as np
+        import pytest
+        from meshvae_tpu.models.experimental import pc2mesh
+
+        with pytest.raises(ValueError):
+            pc2mesh(np.zeros((3, 3)))
