@@ -29,10 +29,13 @@ TEMPLATE = os.environ.get(
                  "template", "template5k.obj"))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_torch_baseline.json")
+PALLAS_PARITY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  ".bench_pallas_parity.npz")
 
 
 def measure_jax(hier, batch_size, steps, warmup, method, precision,
-                polygon_order=6, scan=False, compute_dtype="float32"):
+                polygon_order=6, scan=False, compute_dtype="float32",
+                model_type="vae", parity=None):
     import jax
     import jax.numpy as jnp
     from meshvae_tpu.models.operators import build_operators
@@ -53,13 +56,22 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
         "compute_dtype": compute_dtype,
         "learning_rate": 1e-3,
         "weight_decay": 5e-4,
+        "latent_split": 2,
     }
     op_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     ops = build_operators(hier, dtype=op_dtype, cheb_method=method,
                           pool_method="gather")
-    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
-    model = MeshVAE(cfg)
-    trainer = Trainer(model, ops, config)
+    if model_type == "joint":
+        # BASELINE config 3: disentangled VAE + cheb_cls joint step
+        from meshvae_tpu.models.joint import build_joint_model
+        from meshvae_tpu.train.joint import JointTrainer
+
+        model = build_joint_model(config, coarse_verts=hier.levels[-1])
+        trainer = JointTrainer(model, ops, config)
+    else:
+        cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
+        model = MeshVAE(cfg)
+        trainer = Trainer(model, ops, config)
 
     rng = np.random.default_rng(0)
     n0 = hier.levels[0]
@@ -79,6 +91,15 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
     params = trainer.init_params(jax.random.key(0))
     opt_state = trainer.init_opt_state(params)
     key = jax.random.key(1)
+
+    if parity is not None:
+        # tensor-level compiled-kernel parity artifacts (same deterministic
+        # params/batch in every method's process): eval-mode recon + total
+        # grad norm, computed ON-CHIP with the measured method
+        recon, grad_norm, ploss = eval_parity_artifacts(
+            trainer, model, params,
+            {k: batch[k] for k in ("x", "label", "mask")}, ops)
+        parity.update(recon=recon, grad_norm=grad_norm, loss=ploss)
 
     if scan:
         # Whole measurement window in one device dispatch (epoch-scan path)
@@ -230,6 +251,89 @@ def measure_crecon(hier, batch_size, steps, method, precision,
     return batch_size * steps / best_dt, loss
 
 
+# TPU v5e single-chip peaks (the bench host's chip): 197 TFLOP/s bf16 on
+# the MXU, ~819 GB/s HBM. f32 HIGHEST matmuls emulate via multiple bf16
+# passes, so bf16 peak is the one hardware ceiling both modes are judged
+# against (utilization of the silicon, not of a precision mode).
+V5E_PEAK_BF16_GFLOPS = 197_000.0
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def step_cost_model(hier, batch_size, polygon_order, method="dense",
+                    compute_dtype="float32", filters=(16, 16, 16, 32, 32),
+                    f_in=3):
+    """Approximate (flops, hbm_bytes) of ONE train step.
+
+    Counts the Chebyshev convolutions (the hot path: K-1 SpMM propagations
+    on the input channels + the stacked channel-mix matmul, x3 for
+    forward+backward) and the operator/activation streams that bound HBM.
+    Pools, dense heads, optimizer and elementwise traffic are ignored — the
+    model intentionally UNDER-counts, so the reported utilization is a
+    lower bound. Returns (flops, bytes) floats.
+    """
+    import scipy.sparse as sp
+    from meshvae_tpu.ops.graph import PALLAS_MIN_N, normalized_neg_adjacency
+
+    k = polygon_order
+    chain = [f_in] + list(filters)
+    n_layers = len(hier.downsample)
+    dtype_bytes = 2 if compute_dtype == "bfloat16" else 4
+    BLOCK = 128
+
+    def op_stream_bytes(n, lap):
+        """Bytes to stream the operator once, per the measured layout."""
+        if method == "pallas" and n >= PALLAS_MIN_N:
+            rows = np.asarray(lap.tocoo().row) // BLOCK
+            cols = np.asarray(lap.tocoo().col) // BLOCK
+            nblocks = len(set(zip(rows.tolist(), cols.tolist())))
+            return nblocks * BLOCK * BLOCK * dtype_bytes
+        if method == "ell":
+            coo = lap.tocoo()
+            max_deg = np.bincount(coo.row, minlength=n).max()
+            return n * int(max_deg) * (4 + dtype_bytes)  # idx + weight
+        return n * n * dtype_bytes  # dense layout streams the full matrix
+
+    # conv site list: (level index, F_in, F_out); encoder + decoder + the
+    # final conv (coarse-support quirk operator: active rows = coarsest N)
+    sites = [(i, chain[i], chain[i + 1]) for i in range(n_layers)]
+    sites += [(n_layers - i - 1, chain[-i - 1], chain[-i - 2])
+              for i in range(n_layers)]
+    final_site = (len(hier.adjacency) - 1, chain[1], f_in)
+
+    laps = [normalized_neg_adjacency(a) for a in hier.adjacency]
+    flops = bytes_ = 0.0
+    b = batch_size
+    for lvl, fi, fo in sites + [final_site]:
+        n = laps[lvl].shape[0]
+        nnz = laps[lvl].nnz
+        # K-1 propagations over fi channels + one stacked mix matmul
+        flops += (k - 1) * 2.0 * nnz * b * fi
+        flops += 2.0 * n * b * (k * fi) * fo
+        bytes_ += (k - 1) * op_stream_bytes(n, laps[lvl])
+        # activation traffic: each T_k written once and read twice (the
+        # recurrence + the concat-mix), output written once
+        bytes_ += (3.0 * k * n * b * fi + n * b * fo) * dtype_bytes
+    # backward re-runs the propagations for dx and computes dW: ~2x forward
+    return 3.0 * flops, 3.0 * bytes_
+
+
+def eval_parity_artifacts(trainer, model, params, batch, ops):
+    """Deterministic eval-mode recon + loss-grad norm on a fixed batch:
+    the on-chip tensors the compiled-kernel parity check compares."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn(p):
+        loss, (out, aux, y) = trainer._forward_loss(p, batch, None, False,
+                                                    ops)
+        return loss, out["recon"]
+
+    (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    sq = sum(float(np.asarray(jnp.sum(jnp.square(g.astype(jnp.float32)))))
+             for g in jax.tree_util.tree_leaves(grads))
+    return np.asarray(recon, np.float32), float(np.sqrt(sq)), float(loss)
+
+
 def try_pallas_subprocess(args, polygon_order, mode="train"):
     """Run the pallas-path bench in a time-boxed subprocess (its remote
     kernel compile can take ~10 minutes; a timeout must not lose the dense
@@ -243,6 +347,10 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
            "--steps", str(args.steps), "--warmup", str(args.warmup),
            "--precision", args.pallas_precision, "--workload", args.workload,
            "--compute-dtype", args.compute_dtype]
+    if mode in ("train", "joint"):
+        # the subprocess dumps its on-chip recon/grad-norm tensors so the
+        # parent can compute the compiled-kernel parity deltas
+        cmd += ["--emit-parity", PALLAS_PARITY_PATH]
     if getattr(args, "scan", False):
         # keep measurement modes comparable: a scan-epoch dense run must
         # race (and loss-check against) a scan-epoch pallas run
@@ -285,6 +393,10 @@ def torch_baseline(hier, batch_size, refresh=False, polygon_order=6,
         from benchmarks.torch_cpu_baseline import measure_torch_crecon
         value = measure_torch_crecon(hier, batch_size=batch_size,
                                      polygon_order=polygon_order)
+    elif mode == "joint":
+        from benchmarks.torch_cpu_baseline import measure_torch_joint
+        value = measure_torch_joint(hier, batch_size=batch_size,
+                                    polygon_order=polygon_order)
     else:
         from benchmarks.torch_cpu_baseline import measure_torch_baseline
         value = measure_torch_baseline(hier, batch_size=batch_size,
@@ -306,8 +418,11 @@ def main():
                              "in a time-boxed subprocess and report the "
                              "better result; pallas compiles take ~10min "
                              "on this remote-compile setup)")
-    parser.add_argument("--pallas-timeout", type=int, default=1500,
-                        help="seconds allowed for the auto-mode pallas try")
+    parser.add_argument("--pallas-timeout", type=int, default=2100,
+                        help="seconds allowed for the auto-mode pallas try "
+                             "(its remote kernel compile alone is ~10 min, "
+                             "and the parity-artifact forward adds a second "
+                             "compile)")
     parser.add_argument("--precision", default="highest")
     parser.add_argument("--pallas-precision", default="high",
                         help="precision for auto mode's pallas try: "
@@ -334,11 +449,17 @@ def main():
     parser.add_argument("--no-scan", dest="scan", action="store_false",
                         help="measure the per-step dispatch path instead")
     parser.add_argument("--mode", default="train",
-                        choices=["train", "inference", "crecon"],
+                        choices=["train", "inference", "crecon", "joint"],
                         help="inference: the batch reconstruction pipeline "
                              "(BASELINE config 4; typically --batch-size 128); "
                              "crecon: the second-stage classifier train step "
-                             "(BASELINE config 2)")
+                             "(BASELINE config 2); joint: the disentangled "
+                             "VAE + classifier latent-split step "
+                             "(BASELINE config 3)")
+    parser.add_argument("--emit-parity", default="",
+                        help="write this process's on-chip eval recon + "
+                             "grad-norm to the given .npz (used by auto "
+                             "mode's pallas subprocess)")
     parser.add_argument("--workload", default="default",
                         choices=["default", "scaled20k"],
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
@@ -422,17 +543,38 @@ def main():
         return
 
     method = args.method
+    model_type = "joint" if args.mode == "joint" else "vae"
     pallas_result = pallas_loss = None
     if method == "auto":
         method = "dense"
-        pallas_result, pallas_loss = try_pallas_subprocess(args, polygon_order)
+        if os.path.exists(PALLAS_PARITY_PATH):
+            os.remove(PALLAS_PARITY_PATH)  # stale artifacts must not match
+        pallas_result, pallas_loss = try_pallas_subprocess(args, polygon_order,
+                                                           mode=args.mode)
 
+    want_parity = bool(args.emit_parity) or args.method == "auto"
+    parity = {} if want_parity else None
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
                                        args.warmup, method,
                                        args.precision,
                                        polygon_order=polygon_order,
                                        scan=args.scan,
-                                       compute_dtype=args.compute_dtype)
+                                       compute_dtype=args.compute_dtype,
+                                       model_type=model_type, parity=parity)
+    if args.emit_parity and parity:
+        np.savez(args.emit_parity, recon=parity["recon"],
+                 grad_norm=parity["grad_norm"], loss=parity["loss"])
+
+    # tensor-level compiled-kernel parity: the pallas subprocess dumped its
+    # on-chip recon + grad norm; compare against this process's dense run
+    recon_delta = grad_rel_delta = None
+    if (args.method == "auto" and parity
+            and os.path.exists(PALLAS_PARITY_PATH)):
+        pp = np.load(PALLAS_PARITY_PATH)
+        recon_delta = float(np.abs(pp["recon"] - parity["recon"]).max())
+        grad_rel_delta = float(abs(float(pp["grad_norm"])
+                                   - parity["grad_norm"])
+                               / max(abs(parity["grad_norm"]), 1e-9))
 
     # compiled-path correctness check: dense and pallas ran the SAME batch /
     # weights / rng for the same number of steps, so their final training
@@ -454,16 +596,19 @@ def main():
         best_method = "pallas"
 
     baseline = None
+    cache_key = f"bs{args.batch_size}_n{hier.levels[0]}_k{polygon_order}"
+    if model_type == "joint":
+        cache_key = "joint_" + cache_key
     try:
         if args.skip_torch and os.path.exists(BASELINE_CACHE):
             with open(BASELINE_CACHE) as fp:
-                baseline = json.load(fp).get(
-                    f"bs{args.batch_size}_n{hier.levels[0]}"
-                    f"_k{polygon_order}")
+                baseline = json.load(fp).get(cache_key)
         else:
             baseline = torch_baseline(hier, args.batch_size,
                                       refresh=args.refresh_torch,
-                                      polygon_order=polygon_order)
+                                      polygon_order=polygon_order,
+                                      mode=("joint" if model_type == "joint"
+                                            else "train"))
     except Exception as exc:  # baseline failure must not kill the bench
         print(f"torch baseline unavailable: {exc}", file=sys.stderr)
 
@@ -471,7 +616,9 @@ def main():
     if args.compute_dtype == "bfloat16":
         tag += "_bf16"
     result = {
-        "metric": "train_throughput_%s_vae_bs%d" % (tag, args.batch_size),
+        "metric": "train_throughput_%s_%s_bs%d" % (
+            tag, "joint" if model_type == "joint" else "vae",
+            args.batch_size),
         "value": round(meshes_per_sec, 2),
         "unit": "meshes/sec/chip",
         "vs_baseline": round(meshes_per_sec / baseline, 2) if baseline else None,
@@ -479,6 +626,28 @@ def main():
     }
     if compiled_parity is not None:
         result["compiled_pallas_matches_dense"] = compiled_parity
+    if recon_delta is not None:
+        result["compiled_recon_delta"] = recon_delta
+        result["compiled_grad_rel_delta"] = grad_rel_delta
+
+    # absolute utilization: the cost model's flops/bytes per step over the
+    # measured step time, as a fraction of the chip's hardware peaks —
+    # the denominator the 69-349x torch ratios lack (the SpMM-bound train
+    # step should read as bandwidth-, not compute-, limited)
+    if model_type == "vae":
+        try:
+            flops, hbm_bytes = step_cost_model(
+                hier, args.batch_size, polygon_order, method=best_method,
+                compute_dtype=args.compute_dtype)
+            steps_per_sec = meshes_per_sec / args.batch_size
+            result["mxu_gflops"] = round(flops * steps_per_sec / 1e9, 1)
+            result["mxu_utilization"] = round(
+                result["mxu_gflops"] / V5E_PEAK_BF16_GFLOPS, 4)
+            result["hbm_gbps"] = round(hbm_bytes * steps_per_sec / 1e9, 1)
+            result["hbm_utilization"] = round(
+                result["hbm_gbps"] / V5E_PEAK_HBM_GBPS, 4)
+        except Exception as exc:
+            print(f"cost model failed: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 
