@@ -80,3 +80,26 @@ class TestConfigBehavior:
         cfg = read_config(path)
         assert cfg["root_dir"] == ""
         assert cfg["folds"] == 5
+
+
+class TestShippedConfigs:
+    def test_joint_cfg_parses(self):
+        import os
+        from meshvae_tpu.config import read_config
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        config = read_config(os.path.join(root, "files", "joint.cfg"))
+        assert config["type"] == "joint_VAE"
+        assert config["latent_split"] == 2
+        assert config["sup_weight"] == 1.0
+        assert config["adv_weight"] == 0.1
+        assert config["cls_weight"] == 1.0
+        assert config["num_style"] == 16
+
+    def test_scaled20k_cfg_parses(self):
+        import os
+        from meshvae_tpu.config import read_config
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        config = read_config(os.path.join(root, "files", "scaled20k.cfg"))
+        assert config["polygon_order"] == [10] * 5
+        assert config["cheb_method"] == "pallas"
+        assert config["template"].endswith("template20k.obj")
