@@ -397,6 +397,10 @@ def torch_baseline(hier, batch_size, refresh=False, polygon_order=6,
         from benchmarks.torch_cpu_baseline import measure_torch_joint
         value = measure_torch_joint(hier, batch_size=batch_size,
                                     polygon_order=polygon_order)
+    elif mode == "inference":
+        from benchmarks.torch_cpu_baseline import measure_torch_inference
+        value = measure_torch_inference(hier, batch_size=batch_size,
+                                        polygon_order=polygon_order)
     else:
         from benchmarks.torch_cpu_baseline import measure_torch_baseline
         value = measure_torch_baseline(hier, batch_size=batch_size,
@@ -456,6 +460,9 @@ def main():
                              "(BASELINE config 2); joint: the disentangled "
                              "VAE + classifier latent-split step "
                              "(BASELINE config 3)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke runs; the env "
+                             "var alone is ignored on this image)")
     parser.add_argument("--emit-parity", default="",
                         help="write this process's on-chip eval recon + "
                              "grad-norm to the given .npz (used by auto "
@@ -465,6 +472,10 @@ def main():
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
                              "template with K=10 (BASELINE.json config 5)")
     args = parser.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.compute_dtype == "bfloat16" and args.precision == "highest":
         # HIGHEST would force multi-pass emulation on bf16 operands
         args.precision = "default"
@@ -532,13 +543,29 @@ def main():
                                               polygon_order=polygon_order)
         if pallas_value is not None and pallas_value > meshes_per_sec:
             meshes_per_sec = pallas_value
+        baseline = None
+        try:
+            if not (args.skip_torch and not args.refresh_torch):
+                baseline = torch_baseline(hier, args.batch_size,
+                                          refresh=args.refresh_torch,
+                                          polygon_order=polygon_order,
+                                          mode="inference")
+            elif os.path.exists(BASELINE_CACHE):
+                with open(BASELINE_CACHE) as fp:
+                    baseline = json.load(fp).get(
+                        f"inference_bs{args.batch_size}_n{hier.levels[0]}"
+                        f"_k{polygon_order}")
+        except Exception as exc:
+            print(f"torch inference baseline unavailable: {exc}",
+                  file=sys.stderr)
         print(json.dumps({
             "metric": "inference_throughput_%s_bs%d" % (
                 "5k" if args.workload == "default" else "20k",
                 args.batch_size),
             "value": round(meshes_per_sec, 2),
             "unit": "meshes/sec/chip",
-            "vs_baseline": None,
+            "vs_baseline": round(meshes_per_sec / baseline, 2)
+            if baseline else None,
         }))
         return
 

@@ -216,6 +216,42 @@ class TorchChebGCN(torch.nn.Module):
         return self.cls_layer(x)
 
 
+def measure_torch_inference(hier, batch_size=128, steps=5, warmup=2, seed=0,
+                            polygon_order=6) -> float:
+    """meshes/sec of the torch-CPU inference pipeline (BASELINE config 4):
+    classify, reconstruct with the predicted label, sex-swap decode, and
+    per-mesh mean/max errors, under no_grad (reference inference.py:63-157
+    semantics)."""
+    torch.manual_seed(seed)
+    vae = TorchChebVAE(hier, filters=[16, 16, 16, 32, 32],
+                       K=[polygon_order] * 5, num_hidden=512, latent=16,
+                       num_classes=2, dropout=0.2)
+    vae.eval()
+    n0 = hier.levels[0]
+    x = torch.randn(batch_size, n0, 3)
+    gt = torch.randn(batch_size, n0, 3)
+
+    def step():
+        with torch.no_grad():
+            h = vae.encode_h(x)
+            y_hat = torch.softmax(vae.classifier_layer(h), dim=1)
+            pred = torch.argmax(y_hat, dim=1)
+            y = torch.eye(2)[pred]
+            mu = vae.z_mean(torch.cat([y, h], -1))
+            recon = vae.decode_z(torch.cat([y, mu], -1))
+            oppo = vae.decode_z(torch.cat([1.0 - y, mu], -1))
+            err = ((recon - gt) ** 2).sum(-1).sqrt()
+            return float(err.mean()), oppo
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
 class _GradReverse(torch.autograd.Function):
     @staticmethod
     def forward(ctx, x):
