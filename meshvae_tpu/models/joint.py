@@ -98,6 +98,12 @@ class JointMeshVAE(nn.Module):
     def sample(self, y, z, ops: ModelOperators, train: bool = False):
         return self.vae.sample(y, z, ops, train=train)
 
+    def z_mean(self, hy):
+        """Posterior-mean head passthrough — the InferenceEngine and crecon
+        drivers reach the model via `m.z_mean(v)` (MeshVAE exposes it as a
+        submodule attribute; here it delegates)."""
+        return self.vae.z_mean(hy)
+
     # ----------------------------------------------------------------------
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, ops: ModelOperators,

@@ -175,6 +175,30 @@ class TestJointTraining:
             p2, o2, loader, jax.random.fold_in(rng, 0), ds.mean, ds.std)
         assert set(avg_scan) == set(avg)
 
+    def test_inference_engine_drives_joint_model(self, joint_env):
+        """The batch inference pipeline works on a joint checkpoint (the
+        engine reaches the model through encode/classify/z_mean/sample)."""
+        config, template, root = joint_env
+        from meshvae_tpu.infer.driver import InferenceEngine
+        model, ops, trainer = _build(config)
+        engine = InferenceEngine(model, ops)
+        params = trainer.init_params(jax.random.key(0))
+        b, n0 = 4, template.v.shape[0]
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.standard_normal((b, n0, 3)), jnp.float32),
+            "r": jnp.tile(jnp.eye(3, dtype=jnp.float32), (b, 1, 1)),
+            "s": jnp.ones(b, jnp.float32),
+            "m": jnp.zeros((b, 1, 3), jnp.float32),
+            "original": jnp.asarray(rng.standard_normal((b, n0, 3)),
+                                    jnp.float32),
+            "mask": jnp.ones(b, jnp.float32),
+        }
+        out = engine.step(params, batch, jnp.zeros((n0, 3)),
+                          jnp.ones((n0, 3)))
+        assert out["recon_orig"].shape == (b, n0, 3)
+        assert np.all(np.isfinite(np.asarray(out["err_mean"])))
+
     def test_driver_end_to_end(self, joint_env):
         config, template, root = joint_env
         from meshvae_tpu.train.driver import run
