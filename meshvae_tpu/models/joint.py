@@ -108,24 +108,38 @@ class JointMeshVAE(nn.Module):
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, ops: ModelOperators,
                  train: bool = False) -> dict:
-        """Returns the MeshVAE output dict extended with sup_logits,
+        """Returns the MeshVAE-style output dict extended with sup_logits,
         adv_logits, cls_logits (all f32) and recon_oppo."""
-        out = self.vae(x, y, ops, train=train)
-        mu = out["mu"]
+        vae = self.vae
+        h = vae.encode(x, ops, train=train)
+        y_hat = vae.classify(h, train=train)
+        hy = jnp.concatenate([y.astype(h.dtype), h], axis=-1)
+        mu = vae.z_mean(hy).astype(jnp.float32)
+        logvar = vae.z_log_var(hy).astype(jnp.float32)
+        z = vae.reparameterize(mu, logvar) if train else mu
 
         sup_logits = self.sup_head(mu[:, : self.split]).astype(jnp.float32)
         adv_logits = self.adv_head(
             grad_reverse(mu[:, self.split:])).astype(jnp.float32)
 
         # crecon's difference features (crecon.py:195-198), but live: both
-        # decodes share the latent and backprop into the whole VAE
-        recon_oppo = self.vae.sample(1.0 - y, out["z"], ops, train=train)
-        diff = jnp.concatenate([x - recon_oppo, x - out["recon"]], axis=-1)
+        # decodes share the latent and backprop into the whole VAE. The
+        # true-label and opposite-label decodes run as ONE decoder pass at
+        # 2B batch — twice the MXU batch dimension instead of two
+        # dispatch-bound passes (dropout draws stay independent per row)
+        yz = jnp.concatenate([
+            jnp.concatenate([y, z], axis=-1),
+            jnp.concatenate([1.0 - y, z], axis=-1),
+        ], axis=0)
+        both = vae.decode(yz, ops, train=train)
+        recon, recon_oppo = jnp.split(both, 2, axis=0)
+
+        diff = jnp.concatenate([x - recon_oppo, x - recon], axis=-1)
         cls_logits = self.gcn(diff, ops)
 
-        out.update(sup_logits=sup_logits, adv_logits=adv_logits,
-                   cls_logits=cls_logits, recon_oppo=recon_oppo)
-        return out
+        return {"recon": recon, "y_hat": y_hat, "mu": mu, "logvar": logvar,
+                "z": z, "sup_logits": sup_logits, "adv_logits": adv_logits,
+                "cls_logits": cls_logits, "recon_oppo": recon_oppo}
 
 
 def masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
