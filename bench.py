@@ -347,9 +347,12 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
            "--steps", str(args.steps), "--warmup", str(args.warmup),
            "--precision", args.pallas_precision, "--workload", args.workload,
            "--compute-dtype", args.compute_dtype]
-    if mode in ("train", "joint"):
+    if mode == "train":
         # the subprocess dumps its on-chip recon/grad-norm tensors so the
-        # parent can compute the compiled-kernel parity deltas
+        # parent can compute the compiled-kernel parity deltas. Joint mode
+        # skips this: its pallas compile alone (two models' kernel graphs)
+        # runs tens of minutes, and the parity-forward compile on top
+        # blows the subprocess budget (measured: >35 min, r3).
         cmd += ["--emit-parity", PALLAS_PARITY_PATH]
     if getattr(args, "scan", False):
         # keep measurement modes comparable: a scan-epoch dense run must
@@ -579,7 +582,8 @@ def main():
         pallas_result, pallas_loss = try_pallas_subprocess(args, polygon_order,
                                                            mode=args.mode)
 
-    want_parity = bool(args.emit_parity) or args.method == "auto"
+    want_parity = (bool(args.emit_parity)
+                   or (args.method == "auto" and args.mode == "train"))
     parity = {} if want_parity else None
     meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
                                        args.warmup, method,

@@ -52,13 +52,18 @@ def propagate_dense(op: GraphOperator, x: jnp.ndarray,
                       precision=resolve_precision(precision))
 
 
-def propagate_ell(op: GraphOperator, x: jnp.ndarray) -> jnp.ndarray:
-    """Gather-based SpMM: out[b, i] = sum_d w[i, d] * x[b, idx[i, d]]."""
-    acc = None
-    for d in range(op.max_degree):
-        term = op.ell_w[None, :, d, None] * jnp.take(x, op.ell_idx[:, d], axis=1)
-        acc = term if acc is None else acc + term
-    return acc
+def propagate_ell(op: GraphOperator, x: jnp.ndarray,
+                  precision=None) -> jnp.ndarray:
+    """Gather-based SpMM: out[b, i] = sum_d w[i, d] * x[b, idx[i, d]].
+
+    One [B, N, D, F] neighbor gather + a weighted reduction over D, instead
+    of D separate gathers — same HBM bytes, but a handful of HLOs per
+    propagation rather than O(max_degree), which keeps compile time flat in
+    the degree (the unrolled form failed to compile a 50-step bs128 scan
+    within 20 minutes; see BASELINE.md Round 3)."""
+    gathered = jnp.take(x, op.ell_idx, axis=1)        # [B, N, D, F]
+    return jnp.einsum("nd,bndf->bnf", op.ell_w, gathered,
+                      precision=resolve_precision(precision))
 
 
 def cheb_conv(
@@ -130,7 +135,7 @@ def cheb_conv(
     if method == "dense":
         prop = lambda t: propagate_dense(op, t, precision=precision)
     elif method == "ell":
-        prop = lambda t: propagate_ell(op, t)
+        prop = lambda t: propagate_ell(op, t, precision=precision)
     else:
         raise ValueError(f"unknown cheb method: {method}")
 
