@@ -16,6 +16,14 @@ from .loop import Trainer
 
 
 class JointTrainer(Trainer):
+    # disentanglement observability: how well the supervised latent slice
+    # predicts sex, and how well the adversarial head reads the free slice
+    # (lower = better scrubbed) — surfaced in eval averages and history
+    extra_scalar_names = ("sup_accuracy", "adv_accuracy")
+
+    def _extra_scalars(self, aux) -> list:
+        return [aux["sup_correct"], aux["adv_correct"]]
+
     def __init__(self, model, ops, config: dict, mesh=None):
         super().__init__(model, ops, config, mesh=mesh)
         self.sup_weight = float(config.get("sup_weight", 1.0))

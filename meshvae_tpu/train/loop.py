@@ -103,7 +103,18 @@ def call_synced(jit_fn, aot_cache: dict, cache_key, *args):
 
 
 class Trainer:
-    """Owns the jitted steps for one (model, operators, config) triple."""
+    """Owns the jitted steps for one (model, operators, config) triple.
+
+    Subclasses can surface model-specific eval metrics: override
+    `extra_scalar_names` (rate names) and `_extra_scalars(aux)` (matching
+    correct-counts); they append to the packed eval scalars and come back
+    as <name> = count/total in the eval averages (and, via history_record's
+    passthrough, in history{fold}.json)."""
+
+    extra_scalar_names: tuple = ()
+
+    def _extra_scalars(self, aux) -> list:
+        return []
 
     def __init__(self, model, ops, config: dict, mesh=None):
         self.model = model
@@ -238,7 +249,7 @@ class Trainer:
             aux["correct"].astype(jnp.float32),
             mask.sum(),
             sc_correct,
-        ])
+        ] + [jnp.asarray(s, jnp.float32) for s in self._extra_scalars(aux)])
         return {
             "scalars": scalars,            # [6]: loss,kld,rec,correct,count,sc
             "errors": err,                 # [B, N] per-vertex original-pose error
@@ -430,6 +441,8 @@ class Trainer:
             "sex_change_success_rate": float(sc[:, 5].sum()) / max(total, 1.0),
             "count": total,
         }
+        for i, name in enumerate(self.extra_scalar_names):
+            avg[name] = float(sc[:, 6 + i].sum()) / max(total, 1.0)
         mask = fetch(device_batches["mask"]) > 0               # [S, B]
         errors = err[mask]                                     # [valid, N]
         if collect_meshes:
@@ -449,6 +462,7 @@ class Trainer:
         matrix + sex-change success rate (+ meshes if requested)."""
         totals = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0}
         correct = sc_correct = count = 0.0
+        extra = [0.0] * len(self.extra_scalar_names)
         errors = []
         meshes = {"recon": [], "oppo": [], "oppo_pred": [], "oppo_label": [],
                   "index": []}
@@ -463,6 +477,8 @@ class Trainer:
                 totals[k] += float(sc[i]) * n
             correct += float(sc[3])
             sc_correct += float(sc[5])
+            for i in range(len(extra)):
+                extra[i] += float(sc[6 + i])
             count += n
             keep = np.asarray(batch["mask"]) > 0
             errors.append(fetch(out["errors"])[keep])
@@ -475,6 +491,8 @@ class Trainer:
         avg = {k: v / max(count, 1.0) for k, v in totals.items()}
         avg["accuracy"] = correct / max(count, 1.0)
         avg["sex_change_success_rate"] = sc_correct / max(count, 1.0)
+        for i, name in enumerate(self.extra_scalar_names):
+            avg[name] = extra[i] / max(count, 1.0)
         avg["count"] = count
         errors = np.concatenate(errors, axis=0) if errors else np.zeros((0, 1))
         if collect_meshes:

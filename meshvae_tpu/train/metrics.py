@@ -18,7 +18,7 @@ import jax
 
 def history_record(epoch: int, begin: float, duration: float,
                    train: dict, valid: dict, mean_val_error: float) -> dict:
-    return {
+    record = {
         "epoch": epoch,
         "begin": begin,
         "duration": duration,
@@ -38,6 +38,14 @@ def history_record(epoch: int, begin: float, duration: float,
             "sex_change_success_rate": valid["sex_change_success_rate"],
         },
     }
+    # model-specific extras (e.g. the joint model's supervised-slice and
+    # adversarial-head accuracies) ride through under their own names
+    known = {"loss", "kld", "rec_loss", "accuracy", "error", "count",
+             "sex_change_success_rate"}
+    for key, value in valid.items():
+        if key not in known:
+            record["validation"][key] = value
+    return record
 
 
 def write_history(checkpoint_dir: str, fold: int, history: list[dict]) -> None:

@@ -209,6 +209,11 @@ class TestJointTraining:
             assert np.isfinite(r["loss"])
             assert 0.0 <= r["accuracy"] <= 1.0
             assert "sex_change_success_rate" in r
+            # disentanglement observability rides through the eval path
+            assert 0.0 <= r["sup_accuracy"] <= 1.0
+            assert 0.0 <= r["adv_accuracy"] <= 1.0
         ckpt_dir = config["checkpoint_dir"]
-        assert os.path.exists(os.path.join(ckpt_dir, "history1.json"))
+        import json
+        hist = json.load(open(os.path.join(ckpt_dir, "history1.json")))
+        assert "sup_accuracy" in hist[0]["validation"]
         assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_1.msgpack"))
