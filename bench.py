@@ -329,9 +329,13 @@ def eval_parity_artifacts(trainer, model, params, batch, ops):
         return loss, out["recon"]
 
     (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    sq = sum(float(np.asarray(jnp.sum(jnp.square(g.astype(jnp.float32)))))
-             for g in jax.tree_util.tree_leaves(grads))
-    return np.asarray(recon, np.float32), float(np.sqrt(sq)), float(loss)
+    # reduce to ONE scalar on device: each device->host pull is a ~25ms
+    # relay round-trip, and grads have dozens of leaves
+    sq = jax.tree_util.tree_reduce(
+        lambda acc, g: acc + jnp.sum(jnp.square(g.astype(jnp.float32))),
+        grads, jnp.float32(0.0))
+    grad_norm = float(np.asarray(jnp.sqrt(sq)))
+    return np.asarray(recon, np.float32), grad_norm, float(loss)
 
 
 def try_pallas_subprocess(args, polygon_order, mode="train"):

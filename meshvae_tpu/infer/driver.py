@@ -27,8 +27,7 @@ import jax.numpy as jnp
 from ..data.dataset import BatchIterator, MeshDataset, list_meshes
 from ..mesh.io import save_obj
 from ..mesh.procrustes import apply_inverse_similarity
-from ..parallel.sharding import (batch_sharding, fetch, is_primary,
-                                 put_sharded, replicated_sharding)
+from ..parallel.sharding import fetch, is_primary
 from ..train.checkpoint import checkpoint_path, load_params, save_params
 
 
@@ -47,11 +46,10 @@ class InferenceEngine:
             from ..parallel.sharding import shard_operators
 
             self.ops = shard_operators(ops, mesh)
-            self._replicated = replicated_sharding(mesh)
         else:
             self.ops = ops
-            self._replicated = None
         self._step = jax.jit(self._step_impl)
+        self._aot = {}  # multi-process AOT executables (loop.call_synced)
 
     def _step_impl(self, params, batch, norm_mean, norm_std, ops):
         model = self.model
@@ -86,20 +84,24 @@ class InferenceEngine:
 
     def put_batch(self, batch: dict) -> dict:
         """Host batch -> device, batch axis sharded over dp when meshed."""
-        if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            return {k: put_sharded(np.asarray(v), sh)
-                    for k, v in batch.items() if k != "index"}
-        return {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+        from ..parallel.sharding import shard_batch
+
+        return shard_batch({k: v for k, v in batch.items() if k != "index"},
+                           self.mesh)
 
     def replicate(self, tree):
-        if self._replicated is None:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda leaf: put_sharded(leaf, self._replicated), tree)
+        from ..parallel.sharding import replicate_tree
+
+        return replicate_tree(tree, self.mesh)
 
     def step(self, params, batch, norm_mean, norm_std):
-        return self._step(params, batch, norm_mean, norm_std, self.ops)
+        # multi-process: compile-then-barrier so the first collective's
+        # gloo handshake is not waited out by a peer's skewed compile
+        from ..train.loop import call_synced
+
+        return call_synced(self._step, self._aot,
+                           ("infer_step", batch["x"].shape),
+                           params, batch, norm_mean, norm_std, self.ops)
 
 
 def run_inference(net_params, model, ops, output_path: str, mean, std,

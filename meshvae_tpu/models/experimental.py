@@ -208,11 +208,19 @@ def pc2mesh(points, alpha: float | None = None):
         raise ValueError("pc2mesh needs at least 4 points")
     tree = sps.cKDTree(pts)
     dist, _ = tree.query(pts, k=2)
-    avg = float(dist[:, 1].mean())
+    # duplicated points contribute zero NN spacing — estimate the scale
+    # from the distinct-point spacings so auto-alpha does not collapse to 0
+    positive = dist[:, 1][dist[:, 1] > 0]
+    if positive.size == 0:
+        raise ValueError("pc2mesh: all points coincide")
+    avg = float(positive.mean())
     if alpha is None:
         alpha = 3.0 * avg
 
-    tet = sps.Delaunay(pts)
+    try:
+        tet = sps.Delaunay(pts)
+    except sps.QhullError as exc:  # coplanar/degenerate cloud
+        raise ValueError(f"pc2mesh: degenerate point cloud ({exc})") from exc
     simp = tet.simplices  # [T, 4]
     a, b, c, d = (pts[simp[:, i]] for i in range(4))
     # circumradius via the standard determinant-free formulation:

@@ -123,11 +123,28 @@ def fetch(value) -> np.ndarray:
     return np.asarray(value)
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh | None) -> dict:
     """Device-put every array in the batch with its batch axis sharded over
-    dp. Batch sizes must be divisible by the dp axis size."""
+    dp (plain jnp upload when mesh is None). Batch sizes must be divisible
+    by the dp axis size. The single batch-sharding helper behind the
+    Trainer, CreconTrainer, and InferenceEngine upload paths."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
     sharding = batch_sharding(mesh)
-    return {k: put_sharded(v, sharding) for k, v in batch.items()}
+    return {k: put_sharded(np.asarray(v), sharding) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh | None):
+    """Commit a pytree (params / opt state / norm stats) as replicated over
+    the mesh; no-op on None mesh or already-placed arrays (put_sharded
+    short-circuits matching shardings)."""
+    if mesh is None:
+        return tree
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda leaf: put_sharded(leaf, sharding),
+                                  tree)
 
 
 def shard_operators(ops, mesh: Mesh):

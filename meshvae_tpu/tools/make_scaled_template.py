@@ -17,9 +17,11 @@ def ensure_template(path: str) -> None:
     """Auto-generate a missing scaled template. A path of the form
     .../templateNk.obj with a vendored template5k.obj sibling is produced
     by repeated midpoint subdivision (5k -> 20k -> 80k: x4 vertices per
-    round). Multi-host safe: the primary writes, everyone barriers."""
-    if os.path.exists(path):
-        return
+    round). Multi-host safe: call it unconditionally from every process —
+    barrier participation is decided ONLY by deterministic path checks
+    (never by os.path.exists on the generated file, which the primary may
+    create mid-flight and make a straggler skip the barrier): the primary
+    writes if needed, everyone barriers."""
     name = os.path.basename(path)
     if not (name.startswith("template") and name.endswith("k.obj")):
         return
@@ -32,7 +34,7 @@ def ensure_template(path: str) -> None:
         return
     from ..parallel.sharding import is_primary, sync_processes
 
-    if is_primary():
+    if is_primary() and not os.path.exists(path):
         mesh = load_obj(src)
         k = 5
         while k < target_k:

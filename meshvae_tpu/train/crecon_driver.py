@@ -73,31 +73,22 @@ class CreconTrainer:
         self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0, 1))
         self._eval_scan = jax.jit(self._eval_scan_impl)
         if mesh is not None:
-            from ..parallel.sharding import (replicated_sharding,
-                                             shard_operators)
+            from ..parallel.sharding import shard_operators
+
             self.ops = shard_operators(ops, mesh)
-            self._replicated = replicated_sharding(mesh)
         else:
             self.ops = ops
-            self._replicated = None
         self._aot = {}  # multi-process AOT executables (loop.call_synced)
 
     def maybe_replicate(self, tree):
-        if self._replicated is None:
-            return tree
-        from ..parallel.sharding import put_sharded
+        from ..parallel.sharding import replicate_tree
 
-        return jax.tree_util.tree_map(
-            lambda leaf: put_sharded(leaf, self._replicated), tree)
+        return replicate_tree(tree, self.mesh)
 
     def _put(self, batch: dict) -> dict:
-        if self.mesh is not None:
-            from ..parallel.sharding import batch_sharding, put_sharded
+        from ..parallel.sharding import shard_batch
 
-            sh = batch_sharding(self.mesh)
-            return {k: put_sharded(np.asarray(v), sh)
-                    for k, v in batch.items()}
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        return shard_batch(batch, self.mesh)
 
     def init_params(self, rng_key):
         n0 = self.ops.num_nodes[0]

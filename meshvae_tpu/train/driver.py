@@ -44,12 +44,13 @@ def build_model_and_ops(config: dict, dtype=None):
         dtype = (jnp.bfloat16
                  if str(config.get("compute_dtype", "")) == "bfloat16"
                  else jnp.float32)
-    if not os.path.exists(config["template"]):
-        # scaled templates (template20k.obj, files/scaled20k.cfg) regenerate
-        # from the vendored template5k by deterministic subdivision
-        from ..tools.make_scaled_template import ensure_template
+    # scaled templates (template20k.obj, files/scaled20k.cfg) regenerate
+    # from the vendored template5k by deterministic subdivision. Called
+    # unconditionally: its barrier participation must not depend on whether
+    # this process observed the file before or after the primary wrote it.
+    from ..tools.make_scaled_template import ensure_template
 
-        ensure_template(config["template"])
+    ensure_template(config["template"])
     template = load_obj(config["template"])
     cache_dir = config.get("hierarchy_cache_dir") or None
     hier = load_or_build_hierarchy(template, config["downsampling_factors"],
@@ -296,8 +297,11 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                     params, test_loader, mean, std, collect_meshes=True)
 
             if vis:
-                _save_sex_change_meshes(checkpoint_dir, n, test_ds, meshes,
-                                        faces)
+                from ..parallel.sharding import is_primary
+
+                if is_primary():  # multi-host: one writer of the .obj dumps
+                    _save_sex_change_meshes(checkpoint_dir, n, test_ds,
+                                            meshes, faces)
 
             log.print(
                 "round {} test loss {},  mean error: {}, train sigma {}, "

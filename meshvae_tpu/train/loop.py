@@ -27,8 +27,7 @@ import optax
 
 from ..mesh.procrustes import apply_inverse_similarity
 from ..models.losses import vae_loss
-from ..parallel.sharding import (batch_sharding, fetch, put_sharded,
-                                 replicated_sharding)
+from ..parallel.sharding import fetch, put_sharded, replicated_sharding
 
 
 # order of the packed per-step metrics vector returned by the train step
@@ -155,10 +154,9 @@ class Trainer:
     def maybe_replicate(self, tree):
         """Commit a pytree (params/opt state/norm stats) as replicated over
         the mesh; no-op on single device or already-placed arrays."""
-        if self._replicated is None:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda leaf: put_sharded(leaf, self._replicated), tree)
+        from ..parallel.sharding import replicate_tree
+
+        return replicate_tree(tree, self.mesh)
 
     def _train_step(self, params, opt_state, batch, rng, norm_mean, norm_std):
         return self._train_step_fn(params, opt_state, batch, rng, norm_mean,
@@ -284,11 +282,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _put(self, batch: dict) -> dict:
-        batch = {k: v for k, v in batch.items() if k != "index"}
-        if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            return {k: put_sharded(np.asarray(v), sh) for k, v in batch.items()}
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        from ..parallel.sharding import shard_batch
+
+        return shard_batch({k: v for k, v in batch.items() if k != "index"},
+                           self.mesh)
 
     def train_epoch(self, params, opt_state, loader, rng, norm_mean, norm_std):
         """One pass over the loader; returns (params, opt_state, averages)."""
