@@ -136,9 +136,13 @@ class Trainer:
         self._train_scan_fn = jax.jit(self._train_scan_impl,
                                       donate_argnums=(0, 1))
         self._eval_step_fn = jax.jit(self._eval_step_impl)
-        # arg 5 = collect (mesh stacks in the scan outputs): static
-        self._eval_scan_fn = jax.jit(self._eval_scan_impl,
-                                     static_argnums=(5,))
+        # two pre-bound variants instead of a static `collect` argument: the
+        # multi-process path executes AOT-compiled objects (call_synced),
+        # which accept only traced arguments
+        self._eval_scan_fn = jax.jit(
+            functools.partial(self._eval_scan_impl, collect=False))
+        self._eval_scan_collect_fn = jax.jit(
+            functools.partial(self._eval_scan_impl, collect=True))
         if mesh is not None:
             from ..parallel.sharding import shard_operators
             self._ops_on_device = shard_operators(ops, mesh)
@@ -422,10 +426,10 @@ class Trainer:
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
         outs = self._call_synced(
-            self._eval_scan_fn,
+            self._eval_scan_collect_fn if collect_meshes
+            else self._eval_scan_fn,
             ("eval_scan", device_batches["mask"].shape, collect_meshes),
-            params, device_batches, norm_mean, norm_std, self._ops_on_device,
-            collect_meshes)
+            params, device_batches, norm_mean, norm_std, self._ops_on_device)
         sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 6]
         err = fetch(outs["errors"])                            # [S, B, N]
         counts = sc[:, 4]
