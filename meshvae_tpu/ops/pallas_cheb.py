@@ -34,6 +34,14 @@ COLMAJOR_VMEM_BUDGET = int(__import__("os").environ.get(
 INTERPRET = bool(int(__import__("os").environ.get(
     "MESHVAE_PALLAS_INTERPRET", "0")))
 
+# With bf16 operator blocks (compute_dtype=bfloat16) keep the WHOLE
+# recurrence state bf16: the kernel emits bf16, so the per-order
+# f32->bf16 cast round-trip disappears and the t_prev read + output
+# write + mix-dot stream at half width. MESHVAE_BF16_STATE=0 restores
+# the round-2 behavior (f32 state, per-order downcasts) for A/B benches.
+BF16_STATE = bool(int(__import__("os").environ.get(
+    "MESHVAE_BF16_STATE", "1")))
+
 
 def _accumulate(first_ref, o_ref, contrib, tprev_ref):
     """Row-major accumulation into the revisited output row-block. With a
@@ -41,19 +49,24 @@ def _accumulate(first_ref, o_ref, contrib, tprev_ref):
     the accumulator with −T_{k−2}[row] — folding the Chebyshev elementwise
     step (2·L·T_{k−1} − T_{k−2}, the ×2 lives in alpha upstream) into the
     SpMM instead of a separate XLA kernel that round-trips the whole
-    activation through HBM once per order."""
+    activation through HBM once per order.
+
+    contrib arrives f32 (MXU accumulation); o_ref may be bf16 in the
+    bf16-state mode — each store rounds, which at ~3 occupied blocks per
+    row stays well inside the bf16 error budget."""
     b = pl.program_id(1)
+    odt = o_ref.dtype
 
     @pl.when(first_ref[b] == 1)
     def _():
         if tprev_ref is None:
-            o_ref[:] = contrib
+            o_ref[:] = contrib.astype(odt)
         else:
-            o_ref[:] = contrib - tprev_ref[:]
+            o_ref[:] = (contrib - tprev_ref[:].astype(jnp.float32)).astype(odt)
 
     @pl.when(first_ref[b] == 0)
     def _():
-        o_ref[:] = o_ref[:] + contrib
+        o_ref[:] = (o_ref[:].astype(jnp.float32) + contrib).astype(odt)
 
 
 def _make_spmm_kernel(precision, alpha, fuse_prev):
@@ -92,23 +105,26 @@ def _make_colmajor_kernel(precision, alpha, fuse_prev):
             if tprev_ref is None:
                 o_ref[:] = jnp.zeros_like(o_ref)
             else:
-                o_ref[:] = -tprev_ref[:]
+                o_ref[:] = (-tprev_ref[:]).astype(o_ref.dtype)
+
+    def _acc(o_ref, brow_ref, contrib):
+        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
+        cur = o_ref[pl.ds(r, BLOCK), :].astype(jnp.float32)
+        o_ref[pl.ds(r, BLOCK), :] = (cur + contrib).astype(o_ref.dtype)
 
     def _plain(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, o_ref):
         _init(o_ref, None)
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
-        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
-        o_ref[pl.ds(r, BLOCK), :] += contrib
+        _acc(o_ref, brow_ref, contrib)
 
     def _fused(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, tprev_ref, o_ref):
         _init(o_ref, tprev_ref)
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
-        r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
-        o_ref[pl.ds(r, BLOCK), :] += contrib
+        _acc(o_ref, brow_ref, contrib)
 
     return _fused if fuse_prev else _plain
 
@@ -144,7 +160,8 @@ def _make_colmajor_kernel_bf16x3(alpha, fuse_prev):
 
 
 def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
-                     panel: int, t_prev=None, alpha=1.0):
+                     panel: int, t_prev=None, alpha=1.0,
+                     out_dtype=jnp.float32):
     """pallas_call for the column-major VMEM-panel kernel. Blocks are
     addressed through the scalar-prefetched (col, row)-sorted permutation
     ord — no duplicated block storage."""
@@ -189,13 +206,16 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
                                lambda j, b, o, br, bc: (0, j),
                                memory_space=pltpu.VMEM),
     )
+    op_bytes = bsr.blocks.dtype.itemsize
+    act_bytes = x2d.dtype.itemsize + jnp.dtype(out_dtype).itemsize
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4,
+            bytes_accessed=nb * BLOCK * BLOCK * op_bytes
+            + n_pad * c * act_bytes,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -255,22 +275,31 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     nb = bsr.num_blocks
     high = precision == jax.lax.Precision.HIGH
     fuse_prev = t_prev is not None
+    # bf16-state mode: bf16 operator blocks (compute_dtype=bfloat16) emit a
+    # bf16 result, so the recurrence state / t_prev / mix inputs all stream
+    # at half width and the per-order downcast disappears (accumulation
+    # stays f32 on the MXU). HIGH keeps f32 out (parity mode).
+    out_dtype = (jnp.bfloat16
+                 if BF16_STATE and bsr.blocks.dtype == jnp.bfloat16
+                 and not high else jnp.float32)
 
     if bsr.col_order is not None:
         # widest panel under the VMEM budget for a resident output panel
         # (a fused t_prev panel is equally resident: halve the allowance)
         budget = COLMAJOR_VMEM_BUDGET // (2 if fuse_prev else 1)
+        osz = jnp.dtype(out_dtype).itemsize
         cpanel = _COL_PANEL
         while (cpanel * 2 <= min(c, 1024) and c % (cpanel * 2) == 0
-               and n_pad * cpanel * 2 * 4 <= budget):
+               and n_pad * cpanel * 2 * osz <= budget):
             cpanel *= 2
         # col-major wins only when the budget doesn't force a NARROWER
         # panel than row-major uses — a shrunken panel re-streams the
         # blocks proportionally, which outweighs the slab savings
         # (measured: bs16 +8%, bs128 with 1024->256 shrink -6%)
-        if n_pad * cpanel * 4 <= budget and cpanel >= panel:
+        if n_pad * cpanel * osz <= budget and cpanel >= panel:
             return _colmajor_matmul(bsr, x2d, precision, high, cpanel,
-                                    t_prev=t_prev, alpha=alpha)
+                                    t_prev=t_prev, alpha=alpha,
+                                    out_dtype=out_dtype)
 
     block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
                                       lambda j, b, br, bc, fr: (b, 0, 0),
@@ -307,11 +336,13 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
                                lambda j, b, br, bc, fr: (br[b], j),
                                memory_space=pltpu.VMEM),
     )
-    bytes_accessed = nb * BLOCK * BLOCK * 4 + 2 * n_pad * c * 4
+    bytes_accessed = (nb * BLOCK * BLOCK * bsr.blocks.dtype.itemsize
+                      + n_pad * c * (x2d.dtype.itemsize
+                                     + jnp.dtype(out_dtype).itemsize))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), out_dtype),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
@@ -391,18 +422,21 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     k, _, f_out = weight.shape
     n_pad, f_pad = _pad_amounts(n, b, f_in)
 
-    # recurrence state stays f32 (the kernel emits f32 accumulations); with
-    # bf16 operator blocks the activations are downcast per propagation so
-    # both SpMM operands stream at half width
-    op_dtype = bsr.blocks.dtype
-    xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # [N, B, F]
-    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
-    w = jnp.pad(weight.astype(jnp.float32),
-                ((0, 0), (0, f_pad - f_in), (0, 0)))
-
     from .cheb import resolve_precision
 
     prec = resolve_precision(precision)
+    # With bf16 operator blocks the kernel emits bf16 (BF16_STATE), so the
+    # whole recurrence state lives bf16: no per-order downcast op, and the
+    # t_prev read / output write / mix-dot inputs stream at half width.
+    # f32 blocks (HIGHEST/HIGH parity modes) keep an f32 state.
+    op_dtype = bsr.blocks.dtype
+    state_dtype = (jnp.bfloat16
+                   if BF16_STATE and op_dtype == jnp.bfloat16
+                   and prec != jax.lax.Precision.HIGH else jnp.float32)
+    xt = jnp.transpose(x, (1, 0, 2)).astype(state_dtype)  # [N, B, F]
+    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
+    w = jnp.pad(weight.astype(state_dtype),
+                ((0, 0), (0, f_pad - f_in), (0, 0)))
     c = b * f_pad
     prop = lambda t: bsr_matmul(
         bsr, t.astype(op_dtype).reshape(n_pad, c),
@@ -423,9 +457,9 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
         jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
         (((2,), (0,)), ((), ())),
         precision=prec,
-        preferred_element_type=jnp.float32)  # [N, B, F_out]
+        preferred_element_type=jnp.float32)  # [N, B, F_out], f32 accum
 
-    out = out[:n]                      # drop row padding
+    out = out[:n].astype(state_dtype)  # drop row padding
     out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]
     if bias is not None:
         out = out + bias

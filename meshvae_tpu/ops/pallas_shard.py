@@ -217,16 +217,21 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
     while (b * f_pad) % (dp * 128) != 0:
         f_pad += 1
 
-    xt = jnp.transpose(x, (1, 0, 2)).astype(jnp.float32)  # [N, B, F]
-    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
-    w = jnp.pad(weight.astype(jnp.float32),
-                ((0, 0), (0, f_pad - f_in), (0, 0)))
-
     prec = resolve_precision(precision)
-    # with bf16 operator blocks, downcast the live activations too so both
-    # SpMM operands stream at half width (same as the single-chip path);
-    # the recurrence state stays f32 (the kernel emits f32 accumulations)
+    # with bf16 operator blocks the kernel emits bf16 (pallas_cheb
+    # BF16_STATE), so the recurrence state stays bf16 end-to-end — the
+    # all-gather then also moves half the bytes over ICI; f32 blocks
+    # (HIGHEST/HIGH parity modes) keep an f32 state
+    from .pallas_cheb import BF16_STATE
+
     op_dtype = sbsr.blocks.dtype
+    state_dtype = (jnp.bfloat16
+                   if BF16_STATE and op_dtype == jnp.bfloat16
+                   and prec != jax.lax.Precision.HIGH else jnp.float32)
+    xt = jnp.transpose(x, (1, 0, 2)).astype(state_dtype)  # [N, B, F]
+    xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
+    w = jnp.pad(weight.astype(state_dtype),
+                ((0, 0), (0, f_pad - f_in), (0, 0)))
     c = b * f_pad
     prop = lambda t: bsr_matmul_sharded(
         sbsr, t.astype(op_dtype).reshape(n_pad, c), mesh,
@@ -244,9 +249,9 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
         jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
         (((2,), (0,)), ((), ())),
         precision=prec,
-        preferred_element_type=jnp.float32)  # [N, B, F_out]
+        preferred_element_type=jnp.float32)  # [N, B, F_out], f32 accum
 
-    out = out[:n]
+    out = out[:n].astype(state_dtype)
     out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]
     if bias is not None:
         out = out + bias

@@ -208,6 +208,40 @@ class TestChebConvPallas:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_bf16_state_mode(self, big_graph):
+        """With bf16 operator blocks the kernel emits bf16, so the whole
+        recurrence state (and the conv output) stays bf16 — no per-order
+        f32 cast round-trips. Must track the dense bf16 path within bf16
+        rounding, and actually BE bf16 (a silent f32 upcast would restore
+        the double-width streaming this mode exists to remove)."""
+        mesh, adj = big_graph
+        op16 = cheb_operator(adj, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((4, op16.n, 8)).astype(np.float32))
+        w = jnp.asarray((0.1 * rng.standard_normal((4, 8, 16))).astype(np.float32))
+        b = jnp.asarray((0.1 * rng.standard_normal(16)).astype(np.float32))
+        ref = cheb_conv(x, cheb_operator(adj), w, b, method="dense",
+                        precision=jax.lax.Precision.HIGHEST)
+        got = cheb_conv(x.astype(jnp.bfloat16), op16,
+                        w.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                        method="pallas", precision="default")
+        assert got.dtype == jnp.bfloat16
+        scale = np.abs(np.asarray(ref)).max()
+        delta = np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max()
+        assert delta / scale < 5e-2  # bf16 operands + bf16 state rounding
+
+        # gradients flow bf16 too (custom VJPs must return operand-dtype
+        # cotangents or jax rejects the vjp)
+        def loss(xx):
+            return jnp.sum(
+                cheb_conv(xx, op16, w.astype(jnp.bfloat16), None,
+                          method="pallas", precision="default")
+                .astype(jnp.float32) ** 2)
+
+        gx = jax.grad(loss)(x.astype(jnp.bfloat16))
+        assert gx.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
+
     def test_odd_feature_width_pads(self, big_graph):
         # F_in = 3 with batch 4 -> C = 12, padded up to the column panel
         mesh, adj = big_graph
