@@ -271,7 +271,6 @@ def step_cost_model(hier, batch_size, polygon_order, method="dense",
     model intentionally UNDER-counts, so the reported utilization is a
     lower bound. Returns (flops, bytes) floats.
     """
-    import scipy.sparse as sp
     from meshvae_tpu.ops.graph import PALLAS_MIN_N, normalized_neg_adjacency
 
     k = polygon_order
@@ -282,13 +281,13 @@ def step_cost_model(hier, batch_size, polygon_order, method="dense",
 
     def op_stream_bytes(n, lap):
         """Bytes to stream the operator once, per the measured layout."""
+        coo = lap.tocoo()
         if method == "pallas" and n >= PALLAS_MIN_N:
-            rows = np.asarray(lap.tocoo().row) // BLOCK
-            cols = np.asarray(lap.tocoo().col) // BLOCK
+            rows = np.asarray(coo.row) // BLOCK
+            cols = np.asarray(coo.col) // BLOCK
             nblocks = len(set(zip(rows.tolist(), cols.tolist())))
             return nblocks * BLOCK * BLOCK * dtype_bytes
         if method == "ell":
-            coo = lap.tocoo()
             max_deg = np.bincount(coo.row, minlength=n).max()
             return n * int(max_deg) * (4 + dtype_bytes)  # idx + weight
         return n * n * dtype_bytes  # dense layout streams the full matrix
@@ -351,6 +350,11 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
            "--steps", str(args.steps), "--warmup", str(args.warmup),
            "--precision", args.pallas_precision, "--workload", args.workload,
            "--compute-dtype", args.compute_dtype]
+    if args.cpu:
+        # the env var alone is ignored on this image (CLAUDE.md gotcha #1):
+        # without the flag the subprocess would bench the remote TPU and
+        # the parity dump would compare tensors across backends
+        cmd.append("--cpu")
     if mode == "train":
         # the subprocess dumps its on-chip recon/grad-norm tensors so the
         # parent can compute the compiled-kernel parity deltas. Joint mode
@@ -382,11 +386,17 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
     return None, None
 
 
+def baseline_cache_key(hier, batch_size, polygon_order, mode="train"):
+    """ONE key format for the torch-anchor cache: writer (torch_baseline)
+    and the --skip-torch read paths must agree or cached anchors silently
+    read back as None."""
+    key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
+    return key if mode == "train" else f"{mode}_{key}"
+
+
 def torch_baseline(hier, batch_size, refresh=False, polygon_order=6,
                    mode="train"):
-    key = f"bs{batch_size}_n{hier.levels[0]}_k{polygon_order}"
-    if mode != "train":
-        key = f"{mode}_{key}"
+    key = baseline_cache_key(hier, batch_size, polygon_order, mode)
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         try:
@@ -521,9 +531,8 @@ def main():
                                           mode="crecon")
             elif os.path.exists(BASELINE_CACHE):
                 with open(BASELINE_CACHE) as fp:
-                    baseline = json.load(fp).get(
-                        f"crecon_bs{args.batch_size}_n{hier.levels[0]}"
-                        f"_k{polygon_order}")
+                    baseline = json.load(fp).get(baseline_cache_key(
+                        hier, args.batch_size, polygon_order, "crecon"))
         except Exception as exc:
             print(f"torch crecon baseline unavailable: {exc}", file=sys.stderr)
         print(json.dumps({
@@ -559,9 +568,8 @@ def main():
                                           mode="inference")
             elif os.path.exists(BASELINE_CACHE):
                 with open(BASELINE_CACHE) as fp:
-                    baseline = json.load(fp).get(
-                        f"inference_bs{args.batch_size}_n{hier.levels[0]}"
-                        f"_k{polygon_order}")
+                    baseline = json.load(fp).get(baseline_cache_key(
+                        hier, args.batch_size, polygon_order, "inference"))
         except Exception as exc:
             print(f"torch inference baseline unavailable: {exc}",
                   file=sys.stderr)
@@ -631,9 +639,9 @@ def main():
         best_method = "pallas"
 
     baseline = None
-    cache_key = f"bs{args.batch_size}_n{hier.levels[0]}_k{polygon_order}"
-    if model_type == "joint":
-        cache_key = "joint_" + cache_key
+    cache_key = baseline_cache_key(
+        hier, args.batch_size, polygon_order,
+        "joint" if model_type == "joint" else "train")
     try:
         if args.skip_torch and os.path.exists(BASELINE_CACHE):
             with open(BASELINE_CACHE) as fp:

@@ -230,7 +230,10 @@ def pc2mesh(points, alpha: float | None = None):
     m = np.stack([ba, ca, da], axis=1)                     # [T, 3, 3]
     rhs = 0.5 * np.stack([sq(ba), sq(ca), sq(da)], axis=1)  # [T, 3]
     det = np.linalg.det(m)
-    good = np.abs(det) > 1e-12
+    # scale-RELATIVE degeneracy cutoff: det scales as length^3, so an
+    # absolute 1e-12 would classify every tet of a small-unit cloud
+    # (edges ~1e-5) as degenerate and silently return an empty mesh
+    good = np.abs(det) > 1e-9 * avg**3
     center = np.zeros((simp.shape[0], 3))
     center[good] = np.linalg.solve(m[good], rhs[good][..., None])[..., 0]
     radius = np.full(simp.shape[0], np.inf)

@@ -32,6 +32,22 @@ def ensure_template(path: str) -> None:
         target_k = int(name[len("template"):-len("k.obj")])
     except ValueError:
         return
+    # midpoint subdivision quadruples the vertex count, so only 5*4^m
+    # targets are reachable — anything else would silently train at the
+    # wrong resolution (e.g. template10k would get ~20k vertices). A
+    # user-provided file is fine; refusal applies only when we would have
+    # to generate it (the existence check here is race-free: unreachable
+    # targets are never created mid-flight by any process).
+    reachable = 5
+    while reachable < target_k:
+        reachable *= 4
+    if reachable != target_k:
+        if os.path.exists(path):
+            return
+        raise ValueError(
+            f"cannot generate {name}: midpoint subdivision of template5k "
+            f"reaches only 5*4^m vertices (5k, 20k, 80k, ...), not "
+            f"{target_k}k — provide the template file explicitly")
     from ..parallel.sharding import is_primary, sync_processes
 
     if is_primary() and not os.path.exists(path):

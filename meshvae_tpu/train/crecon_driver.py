@@ -213,12 +213,19 @@ class CreconTrainer:
         rows = []
         for batch in loader:
             jb = self._put({k: batch[k] for k in keys})
+            # per-step path rides call_synced too: multi-process compile
+            # skew on the first step would trip the first-collective
+            # handshake deadline (loop.call_synced)
             if train:
-                params, opt_state, m = self._train_step(params, opt_state,
-                                                        vae_params, jb,
-                                                        self.ops)
+                params, opt_state, m = call_synced(
+                    self._train_step, self._aot,
+                    ("crecon_train_step", jb["mask"].shape),
+                    params, opt_state, vae_params, jb, self.ops)
             else:
-                m = self._eval_step(params, vae_params, jb, self.ops)
+                m = call_synced(
+                    self._eval_step, self._aot,
+                    ("crecon_eval_step", jb["mask"].shape),
+                    params, vae_params, jb, self.ops)
             rows.append(fetch(m).astype(np.float64))  # one pull per step
         if not rows:
             return params, opt_state, 0.0, 0.0

@@ -27,7 +27,7 @@ import optax
 
 from ..mesh.procrustes import apply_inverse_similarity
 from ..models.losses import vae_loss
-from ..parallel.sharding import fetch, put_sharded, replicated_sharding
+from ..parallel.sharding import fetch, put_sharded
 
 
 # order of the packed per-step metrics vector returned by the train step
@@ -146,10 +146,8 @@ class Trainer:
         if mesh is not None:
             from ..parallel.sharding import shard_operators
             self._ops_on_device = shard_operators(ops, mesh)
-            self._replicated = replicated_sharding(mesh)
         else:
             self._ops_on_device = ops
-            self._replicated = None
         self._aot = {}  # multi-process AOT executables (see _call_synced)
 
     def _call_synced(self, jit_fn, cache_key, *args):
@@ -162,13 +160,19 @@ class Trainer:
 
         return replicate_tree(tree, self.mesh)
 
+    # the per-step (non-scan) paths go through call_synced too: multi-process
+    # compile skew on the FIRST step would otherwise trip the backend's
+    # first-collective handshake deadline (see call_synced)
     def _train_step(self, params, opt_state, batch, rng, norm_mean, norm_std):
-        return self._train_step_fn(params, opt_state, batch, rng, norm_mean,
-                                   norm_std, self._ops_on_device)
+        return self._call_synced(
+            self._train_step_fn, ("train_step", batch["mask"].shape),
+            params, opt_state, batch, rng, norm_mean, norm_std,
+            self._ops_on_device)
 
     def _eval_step(self, params, batch, norm_mean, norm_std):
-        return self._eval_step_fn(params, batch, norm_mean, norm_std,
-                                  self._ops_on_device)
+        return self._call_synced(
+            self._eval_step_fn, ("eval_step", batch["mask"].shape),
+            params, batch, norm_mean, norm_std, self._ops_on_device)
 
     # ------------------------------------------------------------------
     def init_params(self, rng_key) -> Any:
