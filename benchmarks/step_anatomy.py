@@ -1,0 +1,224 @@
+"""Step anatomy: on-chip timing of the flagship train step's components.
+
+The headline bench (bench.py) gives one number for the whole train step;
+this tool decomposes it so kernel work is aimed at the actual bottleneck:
+
+  full      fwd + bwd + Adam (the real step, minus metrics packing)
+  grad      fwd + bwd only (no optimizer)
+  fwd       forward loss only
+  encode    the 4-level encoder conv stack only
+  conv_l0   ONE level-0 ChebConv forward (the hot op at full resolution)
+  spmm_l0   ONE level-0 SpMM propagation (the kernel alone)
+  adam      optimizer.update + apply_updates with fixed gradients
+
+Every component runs as a jitted lax.scan of --iters iterations over
+device-resident data (one dispatch, one host pull), timed best-of-two
+windows — the same discipline as bench.py (jax.block_until_ready does not
+await completion on this backend; the pull is the sync).
+
+Usage: python benchmarks/step_anatomy.py [--batch-size 128]
+           [--compute-dtype bfloat16] [--method pallas] [--iters 30]
+Prints one JSON object of component -> ms per iteration.
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--method", default="pallas")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--precision", default="default")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--polygon-order", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--components", default="all",
+                    help="comma list: full,grad,fwd,encode,conv_l0,spmm_l0,adam")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bench import TEMPLATE
+    from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
+    from meshvae_tpu.mesh.io import load_obj
+    from meshvae_tpu.models.operators import build_operators
+    from meshvae_tpu.models.vae import MeshVAE, VAEConfig
+    from meshvae_tpu.train.loop import Trainer
+
+    hier = load_or_build_hierarchy(load_obj(TEMPLATE), [4, 4, 4, 4])
+    config = {
+        "num_conv_filters": [16, 16, 16, 32, 32],
+        "polygon_order": [args.polygon_order] * 5,
+        "n_layers": 4, "num_hidden": 512, "num_style": 16,
+        "num_classes": 2, "dropout": 0.2,
+        "cheb_method": args.method, "pool_method": "gather",
+        "matmul_precision": args.precision,
+        "compute_dtype": args.compute_dtype,
+        "learning_rate": 1e-3, "weight_decay": 5e-4,
+    }
+    op_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                else jnp.float32)
+    ops = build_operators(hier, dtype=op_dtype, cheb_method=args.method,
+                          pool_method="gather")
+    cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
+    model = MeshVAE(cfg)
+    trainer = Trainer(model, ops, config)
+
+    rng = np.random.default_rng(0)
+    n0 = hier.levels[0]
+    b = args.batch_size
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((b, n0, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 2, b), jnp.int32),
+        "mask": jnp.ones((b,), jnp.float32),
+    }
+    params = trainer.init_params(jax.random.key(0))
+    opt_state = trainer.init_opt_state(params)
+    key = jax.random.key(1)
+    S = args.iters
+
+    def timed(name, fn, *fn_args):
+        """jit(fn), run once (compile + pull), then best-of-2 timed runs.
+        fn must return ONE pullable array whose value depends on all S
+        iterations (defeats DCE; the pull is the device sync)."""
+        jfn = jax.jit(fn)
+        out = float(np.asarray(jfn(*fn_args)).ravel()[0])  # compile + sync
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = float(np.asarray(jfn(*fn_args)).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        ms = best / S * 1e3
+        print(f"  {name:10s} {ms:8.3f} ms/iter  (check={out:.4g})",
+              file=sys.stderr)
+        return ms
+
+    want = (set(args.components.split(","))
+            if args.components != "all"
+            else {"full", "grad", "fwd", "encode", "conv_l0", "spmm_l0",
+                  "adam"})
+    results = {}
+
+    def loss_fn(p, rngs):
+        return trainer._forward_loss(p, batch, rngs, True, ops)[0]
+
+    def rngs_for(i):
+        k = jax.random.fold_in(key, i)
+        return {"latent": jax.random.fold_in(k, 0),
+                "dropout": jax.random.fold_in(k, 1)}
+
+    if "full" in want:
+        def full_scan(p, o):
+            def step(carry, i):
+                p, o = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i))
+                updates, o = trainer.optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), loss
+            (_, _), losses = jax.lax.scan(step, (p, o), jnp.arange(S))
+            return losses[-1]
+        results["full"] = timed("full", full_scan, params, opt_state)
+
+    if "grad" in want:
+        def grad_scan(p):
+            def step(acc, i):
+                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i))
+                gs = jax.tree_util.tree_reduce(
+                    lambda a, g: a + jnp.sum(jnp.square(
+                        g.astype(jnp.float32))), grads, jnp.float32(0.0))
+                return acc + loss + 1e-12 * gs, None
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
+            return acc
+        results["grad"] = timed("grad", grad_scan, params)
+
+    if "fwd" in want:
+        def fwd_scan(p):
+            def step(acc, i):
+                return acc + loss_fn(p, rngs_for(i)), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
+            return acc
+        results["fwd"] = timed("fwd", fwd_scan, params)
+
+    if "encode" in want:
+        def enc_scan(p):
+            def step(acc, i):
+                h = model.apply(p, batch["x"], ops, train=False,
+                                method=type(model).encode)
+                return acc + jnp.sum(h.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
+            return acc
+        results["encode"] = timed("encode", enc_scan, params)
+
+    if "conv_l0" in want:
+        from meshvae_tpu.ops.cheb import cheb_conv
+        k = args.polygon_order
+        w = jnp.asarray(0.1 * rng.standard_normal((k, 3, 16)), jnp.float32)
+        x0 = batch["x"].astype(cfg.dtype)
+        wd = w.astype(cfg.dtype)
+
+        def conv_scan(xx):
+            def step(acc, _):
+                out = cheb_conv(xx, ops.lap[0], wd, None,
+                                method=args.method, precision=cfg.precision)
+                return acc + jnp.sum(out.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
+            return acc
+        results["conv_l0"] = timed("conv_l0", conv_scan, x0)
+
+    if "spmm_l0" in want and args.method == "pallas" \
+            and ops.lap[0].bsr is not None:
+        from meshvae_tpu.ops.pallas_cheb import bsr_matmul
+        bsr = ops.lap[0].bsr
+        c = b * 16
+        t = jnp.asarray(rng.standard_normal((bsr.n_pad, c)),
+                        jnp.float32).astype(bsr.blocks.dtype)
+
+        def spmm_scan(t0):
+            def step(t, _):
+                # feed the output back in: chains the scan iterations so
+                # none can be elided, at the operand dtype the real
+                # recurrence uses
+                y = bsr_matmul(bsr, t, precision=cfg.precision)
+                return y.astype(t.dtype), None
+            tN, _ = jax.lax.scan(step, t0, jnp.arange(S))
+            return jnp.sum(tN.astype(jnp.float32))
+        results["spmm_l0"] = timed("spmm_l0", spmm_scan, t)
+
+    if "adam" in want:
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 1e-4), params)
+
+        def adam_scan(p, o):
+            def step(carry, _):
+                p, o = carry
+                updates, o = trainer.optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), None
+            (p, o), _ = jax.lax.scan(step, (p, o), jnp.arange(S))
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x.astype(jnp.float32)), p,
+                jnp.float32(0.0))
+        results["adam"] = timed("adam", adam_scan, params, opt_state)
+
+    meta = {"batch_size": b, "method": args.method,
+            "compute_dtype": args.compute_dtype, "iters": S,
+            "n0": int(n0)}
+    print(json.dumps({"anatomy_ms_per_iter": results, **meta}))
+
+
+if __name__ == "__main__":
+    main()
