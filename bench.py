@@ -145,7 +145,7 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
 
 
 def measure_inference(hier, batch_size, steps, method, precision,
-                      polygon_order=6):
+                      polygon_order=6, compute_dtype="float32"):
     """BASELINE config 4: the inference.py batch pipeline — classify,
     reconstruct with the predicted label, sex-swap counterfactual, per-mesh
     mean/max original-pose errors — per jitted step at `batch_size`."""
@@ -160,9 +160,12 @@ def measure_inference(hier, batch_size, steps, method, precision,
         "polygon_order": [polygon_order] * 5,
         "n_layers": 4, "num_hidden": 512, "num_style": 16, "num_classes": 2,
         "dropout": 0.2, "cheb_method": method, "pool_method": "gather",
-        "matmul_precision": precision,
+        "matmul_precision": precision, "compute_dtype": compute_dtype,
     }
-    ops = build_operators(hier, cheb_method=method, pool_method="gather")
+    op_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                else jnp.float32)
+    ops = build_operators(hier, dtype=op_dtype, cheb_method=method,
+                          pool_method="gather")
     cfg = VAEConfig.from_config(config, coarse_verts=hier.levels[-1])
     model = MeshVAE(cfg)
     engine = InferenceEngine(model, ops)
@@ -197,7 +200,7 @@ def measure_inference(hier, batch_size, steps, method, precision,
 
 
 def measure_crecon(hier, batch_size, steps, method, precision,
-                   polygon_order=6):
+                   polygon_order=6, compute_dtype="float32"):
     """BASELINE config 2: the crecon second-stage train step — frozen-VAE
     difference features + GCN forward + CE + backward + Adam, one jitted
     step (reference crecon.py:65-100,162-201 semantics)."""
@@ -213,10 +216,13 @@ def measure_crecon(hier, batch_size, steps, method, precision,
         "polygon_order": [polygon_order] * 5,
         "n_layers": 4, "num_hidden": 512, "num_style": 16, "num_classes": 2,
         "dropout": 0.2, "cheb_method": method, "pool_method": "gather",
-        "matmul_precision": precision,
+        "matmul_precision": precision, "compute_dtype": compute_dtype,
         "learning_rate": 1e-4, "weight_decay": 5e-4, "scan_epoch": False,
     }
-    ops = build_operators(hier, cheb_method=method, pool_method="gather")
+    op_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                else jnp.float32)
+    ops = build_operators(hier, dtype=op_dtype, cheb_method=method,
+                          pool_method="gather")
     vae = MeshVAE(VAEConfig.from_config(config, coarse_verts=hier.levels[-1]))
     gcn = ChebGCN(GCNConfig.from_config(config, coarse_verts=hier.levels[-1],
                                         num_features=6))
@@ -496,6 +502,11 @@ def main():
     if args.compute_dtype == "bfloat16" and args.precision == "highest":
         # HIGHEST would force multi-pass emulation on bf16 operands
         args.precision = "default"
+    if args.compute_dtype == "bfloat16" and args.pallas_precision == "high":
+        # the HIGH bf16x3 split is meaningless on bf16 blocks (the residual
+        # is exactly zero): the auto-mode pallas subprocess should run the
+        # plain bf16 kernel, not three passes of it
+        args.pallas_precision = "default"
 
     from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
     from meshvae_tpu.mesh.io import load_obj
@@ -519,7 +530,8 @@ def main():
                                                     mode="crecon")
         meshes_per_sec, _ = measure_crecon(hier, args.batch_size, args.steps,
                                            crecon_method, args.precision,
-                                           polygon_order=polygon_order)
+                                           polygon_order=polygon_order,
+                                           compute_dtype=args.compute_dtype)
         if pallas_value is not None and pallas_value > meshes_per_sec:
             meshes_per_sec = pallas_value
         baseline = None
@@ -536,8 +548,9 @@ def main():
         except Exception as exc:
             print(f"torch crecon baseline unavailable: {exc}", file=sys.stderr)
         print(json.dumps({
-            "metric": "crecon_train_throughput_%s_bs%d" % (
+            "metric": "crecon_train_throughput_%s%s_bs%d" % (
                 "5k" if args.workload == "default" else "20k",
+                "_bf16" if args.compute_dtype == "bfloat16" else "",
                 args.batch_size),
             "value": round(meshes_per_sec, 2),
             "unit": "meshes/sec/chip",
@@ -556,7 +569,8 @@ def main():
         meshes_per_sec, _ = measure_inference(hier, args.batch_size,
                                               args.steps, infer_method,
                                               args.precision,
-                                              polygon_order=polygon_order)
+                                              polygon_order=polygon_order,
+                                              compute_dtype=args.compute_dtype)
         if pallas_value is not None and pallas_value > meshes_per_sec:
             meshes_per_sec = pallas_value
         baseline = None
@@ -574,8 +588,9 @@ def main():
             print(f"torch inference baseline unavailable: {exc}",
                   file=sys.stderr)
         print(json.dumps({
-            "metric": "inference_throughput_%s_bs%d" % (
+            "metric": "inference_throughput_%s%s_bs%d" % (
                 "5k" if args.workload == "default" else "20k",
+                "_bf16" if args.compute_dtype == "bfloat16" else "",
                 args.batch_size),
             "value": round(meshes_per_sec, 2),
             "unit": "meshes/sec/chip",

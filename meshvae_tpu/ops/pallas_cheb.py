@@ -28,6 +28,13 @@ _COL_PANEL = 128
 COLMAJOR_VMEM_BUDGET = int(__import__("os").environ.get(
     "MESHVAE_COLMAJOR_BUDGET", str(6 * 1024 * 1024)))
 
+# Tuning escape hatch: take the col-major kernel whenever its panel fits
+# the budget, even if that panel is NARROWER than row-major's (the default
+# heuristic rejects that case — measured -6% on f32 bs128; the bf16-state
+# byte ratios differ, so the sweep needs to re-ask).
+FORCE_COLMAJOR = bool(int(__import__("os").environ.get(
+    "MESHVAE_COLMAJOR_FORCE", "0")))
+
 # Set True to run the kernel in the Pallas interpreter (CPU tests / debug);
 # MESHVAE_PALLAS_INTERPRET=1 sets it from the environment so the CLIs can
 # drive the pallas path end-to-end on the CPU backend.
@@ -296,7 +303,8 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         # panel than row-major uses — a shrunken panel re-streams the
         # blocks proportionally, which outweighs the slab savings
         # (measured: bs16 +8%, bs128 with 1024->256 shrink -6%)
-        if n_pad * cpanel * osz <= budget and cpanel >= panel:
+        if n_pad * cpanel * osz <= budget and (cpanel >= panel
+                                               or FORCE_COLMAJOR):
             return _colmajor_matmul(bsr, x2d, precision, high, cpanel,
                                     t_prev=t_prev, alpha=alpha,
                                     out_dtype=out_dtype)
