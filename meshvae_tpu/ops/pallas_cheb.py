@@ -49,14 +49,33 @@ INTERPRET = bool(int(__import__("os").environ.get(
 BF16_STATE = bool(int(__import__("os").environ.get(
     "MESHVAE_BF16_STATE", "1")))
 
+# Fused backward: the reverse Chebyshev recurrence runs as K-1 two-seed
+# kernel calls (out = α·L·g + c_{k-1} − b_{k+1}) with ZERO standalone
+# elementwise passes, instead of autodiff's kernel + two full-activation
+# HBM round-trips per order. MESHVAE_FUSED_BWD=0 restores the autodiff
+# backward for A/B benches.
+FUSED_BWD = bool(int(__import__("os").environ.get(
+    "MESHVAE_FUSED_BWD", "1")))
 
-def _accumulate(first_ref, o_ref, contrib, tprev_ref):
-    """Row-major accumulation into the revisited output row-block. With a
-    fused recurrence operand (tprev_ref), the first block of a row seeds
-    the accumulator with −T_{k−2}[row] — folding the Chebyshev elementwise
-    step (2·L·T_{k−1} − T_{k−2}, the ×2 lives in alpha upstream) into the
-    SpMM instead of a separate XLA kernel that round-trips the whole
-    activation through HBM once per order.
+
+def _seed_with(contrib, tprev_ref, tplus_ref):
+    """Accumulator seed contrib [+ t_plus] [− t_prev], f32."""
+    seed = contrib
+    if tplus_ref is not None:
+        seed = seed + tplus_ref[:].astype(jnp.float32)
+    if tprev_ref is not None:
+        seed = seed - tprev_ref[:].astype(jnp.float32)
+    return seed
+
+
+def _accumulate(first_ref, o_ref, contrib, tprev_ref, tplus_ref=None):
+    """Row-major accumulation into the revisited output row-block. With
+    fused seed operands, the first block of a row seeds the accumulator
+    with −T_{k−2}[row] (forward recurrence: 2·L·T_{k−1} − T_{k−2}, the ×2
+    lives in alpha upstream) and/or +t_plus[row] (backward recurrence:
+    2·L·b_k + c_{k−1} − b_{k+1}) — folding the Chebyshev elementwise steps
+    into the SpMM instead of separate XLA kernels that round-trip the
+    whole activation through HBM once per order.
 
     contrib arrives f32 (MXU accumulation); o_ref may be bf16 in the
     bf16-state mode — each store rounds, which at ~3 occupied blocks per
@@ -66,86 +85,78 @@ def _accumulate(first_ref, o_ref, contrib, tprev_ref):
 
     @pl.when(first_ref[b] == 1)
     def _():
-        if tprev_ref is None:
-            o_ref[:] = contrib.astype(odt)
-        else:
-            o_ref[:] = (contrib - tprev_ref[:].astype(jnp.float32)).astype(odt)
+        o_ref[:] = _seed_with(contrib, tprev_ref, tplus_ref).astype(odt)
 
     @pl.when(first_ref[b] == 0)
     def _():
         o_ref[:] = (o_ref[:].astype(jnp.float32) + contrib).astype(odt)
 
 
-def _make_spmm_kernel(precision, alpha, fuse_prev):
-    def _plain(brow_ref, bcol_ref, first_ref, l_ref, x_ref, o_ref):
+def _split_seeds(rest, has_m, has_p):
+    """Unpack (t_prev?, t_plus?, o_ref) from a kernel's trailing refs."""
+    o_ref = rest[-1]
+    seeds = rest[:-1]
+    tprev = seeds[0] if has_m else None
+    tplus = seeds[1 if has_m else 0] if has_p else None
+    return tprev, tplus, o_ref
+
+
+def _make_spmm_kernel(precision, alpha, has_m, has_p):
+    def _kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, *rest):
         # HIGHEST keeps the MXU in true-f32 mode (default truncates to
         # bf16, which breaks the <1e-4 parity budget); DEFAULT is the
         # opt-in bf16 speed mode.
+        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
-        _accumulate(first_ref, o_ref, contrib, None)
+        _accumulate(first_ref, o_ref, contrib, tprev, tplus)
 
-    def _fused(brow_ref, bcol_ref, first_ref, l_ref, x_ref, tprev_ref,
-               o_ref):
-        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
-                                  preferred_element_type=jnp.float32,
-                                  precision=precision)
-        _accumulate(first_ref, o_ref, contrib, tprev_ref)
-
-    return _fused if fuse_prev else _plain
+    return _kernel
 
 
-def _make_colmajor_kernel(precision, alpha, fuse_prev):
+def _colmajor_init(o_ref, tprev_ref, tplus_ref):
+    """Seed the VMEM-resident panel at step 0: 0 [+ t_plus] [− t_prev]."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        if tprev_ref is None and tplus_ref is None:
+            o_ref[:] = jnp.zeros_like(o_ref)
+        else:
+            seed = _seed_with(jnp.float32(0.0), tprev_ref, tplus_ref)
+            o_ref[:] = seed.astype(o_ref.dtype)
+
+
+def _make_colmajor_kernel(precision, alpha, has_m, has_p):
     """Column-major variant: the WHOLE [n_pad, panel] output panel stays
     VMEM-resident across the block loop (out index map is constant per
     panel), blocks iterate sorted by (col, row) so consecutive steps
     revisit the same x slab — each occupied column block streams once per
     panel instead of once per occupied block (~3x less slab traffic at the
     5k level-0's ~3 blocks/row). Accumulation is a dynamic-sliced += into
-    the resident panel; the panel seeds with 0 (or −T_{k−2} when the
-    recurrence step is fused) at step 0."""
-
-    def _init(o_ref, tprev_ref):
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            if tprev_ref is None:
-                o_ref[:] = jnp.zeros_like(o_ref)
-            else:
-                o_ref[:] = (-tprev_ref[:]).astype(o_ref.dtype)
+    the resident panel; the panel seeds with 0 [+t_plus] [−t_prev] at
+    step 0."""
 
     def _acc(o_ref, brow_ref, contrib):
         r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
         cur = o_ref[pl.ds(r, BLOCK), :].astype(jnp.float32)
         o_ref[pl.ds(r, BLOCK), :] = (cur + contrib).astype(o_ref.dtype)
 
-    def _plain(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, o_ref):
-        _init(o_ref, None)
+    def _kernel(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, *rest):
+        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
+        _colmajor_init(o_ref, tprev, tplus)
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
         _acc(o_ref, brow_ref, contrib)
 
-    def _fused(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, tprev_ref, o_ref):
-        _init(o_ref, tprev_ref)
-        contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
-                                  preferred_element_type=jnp.float32,
-                                  precision=precision)
-        _acc(o_ref, brow_ref, contrib)
-
-    return _fused if fuse_prev else _plain
+    return _kernel
 
 
-def _make_colmajor_kernel_bf16x3(alpha, fuse_prev):
-    def _init(o_ref, tprev_ref):
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            if tprev_ref is None:
-                o_ref[:] = jnp.zeros_like(o_ref)
-            else:
-                o_ref[:] = -tprev_ref[:]
-
-    def _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref):
+def _make_colmajor_kernel_bf16x3(alpha, has_m, has_p):
+    def _kernel(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
+                *rest):
+        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
+        _colmajor_init(o_ref, tprev, tplus)
         dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
         contrib = alpha * (dot(lh_ref[0], xh_ref[:])
                            + (dot(lh_ref[0], xl_ref[:])
@@ -153,21 +164,11 @@ def _make_colmajor_kernel_bf16x3(alpha, fuse_prev):
         r = pl.multiple_of(brow_ref[pl.program_id(1)] * BLOCK, BLOCK)
         o_ref[pl.ds(r, BLOCK), :] += contrib
 
-    def _plain(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
-               o_ref):
-        _init(o_ref, None)
-        _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref)
-
-    def _fused(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
-               tprev_ref, o_ref):
-        _init(o_ref, tprev_ref)
-        _body(brow_ref, lh_ref, ll_ref, xh_ref, xl_ref, o_ref)
-
-    return _fused if fuse_prev else _plain
+    return _kernel
 
 
 def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
-                     panel: int, t_prev=None, alpha=1.0,
+                     panel: int, t_prev=None, t_plus=None, alpha=1.0,
                      out_dtype=jnp.float32):
     """pallas_call for the column-major VMEM-panel kernel. Blocks are
     addressed through the scalar-prefetched (col, row)-sorted permutation
@@ -176,7 +177,8 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     n_pad = bsr.n_pad
     nb = bsr.num_blocks
     panels = c // panel
-    fuse_prev = t_prev is not None
+    has_m = t_prev is not None
+    has_p = t_plus is not None
 
     block_spec = lambda: pl.BlockSpec(
         (1, BLOCK, BLOCK), lambda j, b, o, br, bc: (o[b], 0, 0),
@@ -184,11 +186,11 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     x_spec = lambda: pl.BlockSpec(
         (BLOCK, panel), lambda j, b, o, br, bc: (bc[b], j),
         memory_space=pltpu.VMEM)
-    tprev_spec = lambda: pl.BlockSpec(
+    seed_spec = lambda: pl.BlockSpec(
         (n_pad, panel), lambda j, b, o, br, bc: (0, j),
         memory_space=pltpu.VMEM)
     if high:
-        kernel = _make_colmajor_kernel_bf16x3(alpha, fuse_prev)
+        kernel = _make_colmajor_kernel_bf16x3(alpha, has_m, has_p)
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = x2d.astype(jnp.bfloat16)
@@ -197,13 +199,14 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_colmajor_kernel(precision, alpha, fuse_prev)
+        kernel = _make_colmajor_kernel(precision, alpha, has_m, has_p)
         operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
-    if fuse_prev:
-        operands.append(t_prev)
-        in_specs.append(tprev_spec())
+    for seed in (t_prev, t_plus):
+        if seed is not None:
+            operands.append(seed)
+            in_specs.append(seed_spec())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -230,7 +233,7 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     )(bsr.col_order, bsr.block_row_c, bsr.block_col_c, *operands)
 
 
-def _make_spmm_kernel_bf16x3(alpha, fuse_prev):
+def _make_spmm_kernel_bf16x3(alpha, has_m, has_p):
     """bf16x3 ("HIGH"): both operands arrive pre-split into a bf16 hi part
     and a bf16 residual (same total bytes as f32); the three leading cross
     products with f32 accumulation give ~1e-5 relative error — inside the
@@ -239,31 +242,25 @@ def _make_spmm_kernel_bf16x3(alpha, fuse_prev):
     happens once per operand OUTSIDE the kernel (the L split is static and
     CSE'd per step; an in-kernel split would recompute per block)."""
 
-    def _contrib(lh_ref, ll_ref, xh_ref, xl_ref):
+    def _kernel(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
+                xl_ref, *rest):
+        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
         dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
-        return alpha * (dot(lh_ref[0], xh_ref[:])
-                        + (dot(lh_ref[0], xl_ref[:])
-                           + dot(ll_ref[0], xh_ref[:])))
+        contrib = alpha * (dot(lh_ref[0], xh_ref[:])
+                           + (dot(lh_ref[0], xl_ref[:])
+                              + dot(ll_ref[0], xh_ref[:])))
+        _accumulate(first_ref, o_ref, contrib, tprev, tplus)
 
-    def _plain(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
-               xl_ref, o_ref):
-        _accumulate(first_ref, o_ref, _contrib(lh_ref, ll_ref, xh_ref,
-                                               xl_ref), None)
-
-    def _fused(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
-               xl_ref, tprev_ref, o_ref):
-        _accumulate(first_ref, o_ref, _contrib(lh_ref, ll_ref, xh_ref,
-                                               xl_ref), tprev_ref)
-
-    return _fused if fuse_prev else _plain
+    return _kernel
 
 
 def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
-                     precision=None, t_prev=None,
+                     precision=None, t_prev=None, t_plus=None,
                      alpha: float = 1.0) -> jnp.ndarray:
-    """y = alpha * (L @ x2d) [- t_prev] with x2d [n_pad_cols, C], C a
-    multiple of the column panel. t_prev (the fused Chebyshev recurrence
-    operand T_{k-2}, [n_pad, C] f32) subtracts inside the kernel."""
+    """y = alpha * (L @ x2d) [+ t_plus] [- t_prev] with x2d
+    [n_pad_cols, C], C a multiple of the column panel. t_prev (the fused
+    forward-recurrence operand T_{k-2}, [n_pad, C]) subtracts inside the
+    kernel; t_plus (the fused backward-recurrence cotangent seed) adds."""
     from .cheb import resolve_precision
 
     precision = resolve_precision(precision)
@@ -281,7 +278,9 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     panels = c // panel
     nb = bsr.num_blocks
     high = precision == jax.lax.Precision.HIGH
-    fuse_prev = t_prev is not None
+    has_m = t_prev is not None
+    has_p = t_plus is not None
+    n_seeds = int(has_m) + int(has_p)
     # bf16-state mode: bf16 operator blocks (compute_dtype=bfloat16) emit a
     # bf16 result, so the recurrence state / t_prev / mix inputs all stream
     # at half width and the per-order downcast disappears (accumulation
@@ -292,8 +291,8 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
 
     if bsr.col_order is not None:
         # widest panel under the VMEM budget for a resident output panel
-        # (a fused t_prev panel is equally resident: halve the allowance)
-        budget = COLMAJOR_VMEM_BUDGET // (2 if fuse_prev else 1)
+        # (fused seed panels are equally resident: divide the allowance)
+        budget = COLMAJOR_VMEM_BUDGET // (1 + n_seeds)
         osz = jnp.dtype(out_dtype).itemsize
         cpanel = _COL_PANEL
         while (cpanel * 2 <= min(c, 1024) and c % (cpanel * 2) == 0
@@ -306,8 +305,8 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         if n_pad * cpanel * osz <= budget and (cpanel >= panel
                                                or FORCE_COLMAJOR):
             return _colmajor_matmul(bsr, x2d, precision, high, cpanel,
-                                    t_prev=t_prev, alpha=alpha,
-                                    out_dtype=out_dtype)
+                                    t_prev=t_prev, t_plus=t_plus,
+                                    alpha=alpha, out_dtype=out_dtype)
 
     block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
                                       lambda j, b, br, bc, fr: (b, 0, 0),
@@ -319,7 +318,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
                                          lambda j, b, br, bc, fr: (br[b], j),
                                          memory_space=pltpu.VMEM)
     if high:
-        kernel = _make_spmm_kernel_bf16x3(alpha, fuse_prev)
+        kernel = _make_spmm_kernel_bf16x3(alpha, has_m, has_p)
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = x2d.astype(jnp.bfloat16)
@@ -328,13 +327,14 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_spmm_kernel(precision, alpha, fuse_prev)
+        kernel = _make_spmm_kernel(precision, alpha, has_m, has_p)
         operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
-    if fuse_prev:
-        operands.append(t_prev)
-        in_specs.append(out_like_spec())
+    for seed in (t_prev, t_plus):
+        if seed is not None:
+            operands.append(seed)
+            in_specs.append(out_like_spec())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -408,6 +408,84 @@ def cheb_step(bsr: BlockSparseOperator, t1: jnp.ndarray, t0: jnp.ndarray,
     return step(t1, t0)
 
 
+def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
+               k: int, prec, state_dtype, op_dtype) -> jnp.ndarray:
+    """Chebyshev basis + stacked mix with a FUSED custom backward.
+
+    Forward: txs = [T_0..T_{k-1}] (fused recurrence steps), then one wide
+    [n_pad, b, k*f_pad] @ [k*f_pad, f_out] dot.
+
+    Backward: with c_j the mix cotangent of T_j and b_j the total cotangent
+    of T_j, the reverse recurrence b_{j-1} = 2 L b_j + c_{j-1} - b_{j+1}
+    (L symmetric) runs ENTIRELY inside the two-seed kernel — autodiff
+    through the unrolled forward instead emits, per order, a kernel call
+    plus two standalone elementwise passes (the += 2Lg accumulation and the
+    -= g to the k-2 cotangent), each streaming the full activation through
+    HBM three times. Final dx = L b_1 + c_0 - b_2 is one more fused call;
+    zero standalone elementwise ops remain.
+    """
+    n_pad, b, f_pad = xt.shape
+    f_out = w2.shape[-1]
+    c = b * f_pad
+
+    def _mm(a, alpha, p_plus, p_minus):
+        r = lambda t: None if t is None else t.reshape(n_pad, c)
+        return _bsr_matmul_impl(
+            bsr, a.astype(op_dtype).reshape(n_pad, c), prec,
+            t_prev=r(p_minus), t_plus=r(p_plus),
+            alpha=alpha).reshape(n_pad, b, f_pad)
+
+    def _forward(xt, w2):
+        txs = [xt]
+        if k > 1:
+            txs.append(_mm(xt, 1.0, None, None))
+        for _ in range(2, k):
+            txs.append(_mm(txs[-1], 2.0, None, txs[-2]))
+        out = jax.lax.dot_general(
+            jnp.concatenate(txs, axis=-1), w2.reshape(k * f_pad, f_out),
+            (((2,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # [n_pad, b, f_out] f32
+        return out, txs
+
+    @jax.custom_vjp
+    def f(xt, w2):
+        return _forward(xt, w2)[0]
+
+    def fwd(xt, w2):
+        out, txs = _forward(xt, w2)
+        return out, (tuple(txs), w2)
+
+    def bwd(res, g):  # g: [n_pad, b, f_out] f32
+        txs, w2 = res
+        # one cast of the (small) output cotangent to the state dtype: the
+        # mix-backward dots then run at operand width exactly as autodiff's
+        # transpose rule would
+        gm = g.astype(state_dtype)
+        # per-order cotangents and weight grads as K narrow dots — each
+        # output lands contiguous (a single wide g @ W^T would need a
+        # strided slice+copy per order to feed the kernel seeds)
+        cs = [jax.lax.dot_general(
+            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(state_dtype)
+            for j in range(k)]
+        dw = jnp.stack([jax.lax.dot_general(
+            txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+            for j in range(k)]).astype(w2.dtype)
+        if k == 1:
+            dx = cs[0]
+        else:
+            u, prev_u = cs[k - 1], None
+            for j in range(k - 1, 1, -1):
+                u, prev_u = _mm(u, 2.0, cs[j - 1], prev_u), u
+            dx = _mm(u, 1.0, cs[0], prev_u)
+        return dx.astype(state_dtype), dw
+
+    f.defvjp(fwd, bwd)
+    return f(xt, w2)
+
+
 def _pad_amounts(n: int, b: int, f: int):
     n_pad = -(-n // BLOCK) * BLOCK
     f_pad = f
@@ -445,27 +523,35 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
     w = jnp.pad(weight.astype(state_dtype),
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
-    c = b * f_pad
-    prop = lambda t: bsr_matmul(
-        bsr, t.astype(op_dtype).reshape(n_pad, c),
-        precision=prec).reshape(n_pad, b, f_pad)
-    step = lambda t1, t0: cheb_step(
-        bsr, t1.astype(op_dtype).reshape(n_pad, c),
-        t0.reshape(n_pad, c), precision=prec).reshape(n_pad, b, f_pad)
+    if FUSED_BWD:
+        # recurrence + stacked mix under ONE custom VJP: the backward runs
+        # the reverse Chebyshev recurrence as fused two-seed kernel calls
+        # (see _basis_mix) instead of autodiff's per-order kernel + two
+        # full-activation elementwise HBM round-trips.
+        out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype)
+    else:
+        c = b * f_pad
+        prop = lambda t: bsr_matmul(
+            bsr, t.astype(op_dtype).reshape(n_pad, c),
+            precision=prec).reshape(n_pad, b, f_pad)
+        step = lambda t1, t0: cheb_step(
+            bsr, t1.astype(op_dtype).reshape(n_pad, c),
+            t0.reshape(n_pad, c), precision=prec).reshape(n_pad, b, f_pad)
 
-    # recurrence first, then ONE wide channel mix over all K orders
-    # (concat along features: [N, B, K*F] @ [K*F, F_out] — see cheb.py).
-    # Orders >= 2 run the FUSED step (2 L t1 - t0 inside the kernel).
-    txs = [xt]
-    if k > 1:
-        txs.append(prop(xt))
-    for _ in range(2, k):
-        txs.append(step(txs[-1], txs[-2]))
-    out = jax.lax.dot_general(
-        jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
-        (((2,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32)  # [N, B, F_out], f32 accum
+        # recurrence first, then ONE wide channel mix over all K orders
+        # (concat along features: [N, B, K*F] @ [K*F, F_out] — see
+        # cheb.py). Orders >= 2 run the FUSED step (2 L t1 - t0 inside
+        # the kernel).
+        txs = [xt]
+        if k > 1:
+            txs.append(prop(xt))
+        for _ in range(2, k):
+            txs.append(step(txs[-1], txs[-2]))
+        out = jax.lax.dot_general(
+            jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
+            (((2,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # [N, B, F_out] f32 accum
 
     out = out[:n].astype(state_dtype)  # drop row padding
     out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]

@@ -108,10 +108,12 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
 
 
 def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
-                    alpha: float, fuse_prev: bool):
-    """shard_map'd y = alpha * (L @ x) [- t_prev]: activations all-gather
-    over "sp", the local (rectangular) kernel computes this shard's rows.
-    t_prev is already row-sharded like the output, so it stays local."""
+                    alpha: float, fuse_prev: bool, fuse_plus: bool = False):
+    """shard_map'd y = alpha * (L @ x) [+ t_plus] [- t_prev]: activations
+    all-gather over "sp", the local (rectangular) kernel computes this
+    shard's rows. The seed operands (t_prev: the forward recurrence's
+    -T_{k-2}; t_plus: the backward recurrence's +c_{j-1}) are already
+    row-sharded like the output, so they stay local."""
     from .pallas_cheb import _bsr_matmul_impl
 
     rows_local = sbsr.rows_per_shard
@@ -124,22 +126,17 @@ def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
 
     op_specs = (P("sp", None, None, None), P("sp", None), P("sp", None),
                 P("sp", None))
-    if fuse_prev:
-        def body(blocks, brow, bcol, first, x_shard, tprev_shard):
-            x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
-            return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
-                                    x_full, precision,
-                                    t_prev=tprev_shard, alpha=alpha)
+    n_seeds = int(fuse_prev) + int(fuse_plus)
 
-        in_specs = op_specs + (P("sp", "dp"), P("sp", "dp"))
-    else:
-        def body(blocks, brow, bcol, first, x_shard):
-            x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
-            return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
-                                    x_full, precision, alpha=alpha)
+    def body(blocks, brow, bcol, first, x_shard, *seeds):
+        x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
+        tprev = seeds[0] if fuse_prev else None
+        tplus = seeds[1 if fuse_prev else 0] if fuse_plus else None
+        return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
+                                x_full, precision, t_prev=tprev,
+                                t_plus=tplus, alpha=alpha)
 
-        in_specs = op_specs + (P("sp", "dp"),)
-
+    in_specs = op_specs + (P("sp", "dp"),) * (1 + n_seeds)
     return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                          out_specs=P("sp", "dp"), check_vma=False)
 
@@ -196,6 +193,76 @@ def cheb_step_sharded(sbsr: ShardedBlockSparse, t1: jnp.ndarray,
     return step(t1, t0)
 
 
+def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
+                       w2: jnp.ndarray, k: int, prec, state_dtype,
+                       op_dtype) -> jnp.ndarray:
+    """Sharded basis + stacked mix with the FUSED custom backward (the
+    distributed form of pallas_cheb._basis_mix): the adjoint recurrence
+    b_{j-1} = 2 L b_j + c_{j-1} - b_{j+1} runs as two-seed sharded kernel
+    calls — both seeds are row-sharded like the output, so only b_j itself
+    all-gathers over "sp", exactly as in the forward."""
+    n_pad, b, f_pad = xt.shape
+    f_out = w2.shape[-1]
+    c = b * f_pad
+
+    prods = {}
+    args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
+
+    def _mm(a, alpha, p_plus, p_minus):
+        r = lambda t: t.reshape(n_pad, c)
+        key = (alpha, p_minus is not None, p_plus is not None)
+        if key not in prods:
+            prods[key] = _mapped_product(sbsr, mesh, prec, alpha, key[1],
+                                         fuse_plus=key[2])
+        seeds = [r(s) for s in (p_minus, p_plus) if s is not None]
+        return prods[key](*args, a.astype(op_dtype).reshape(n_pad, c),
+                          *seeds).reshape(n_pad, b, f_pad)
+
+    def _forward(xt, w2):
+        txs = [xt]
+        if k > 1:
+            txs.append(_mm(xt, 1.0, None, None))
+        for _ in range(2, k):
+            txs.append(_mm(txs[-1], 2.0, None, txs[-2]))
+        out = jax.lax.dot_general(
+            jnp.concatenate(txs, axis=-1), w2.reshape(k * f_pad, f_out),
+            (((2,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)
+        return out, txs
+
+    @jax.custom_vjp
+    def f(xt, w2):
+        return _forward(xt, w2)[0]
+
+    def fwd(xt, w2):
+        out, txs = _forward(xt, w2)
+        return out, (tuple(txs), w2)
+
+    def bwd(res, g):
+        txs, w2 = res
+        gm = g.astype(state_dtype)
+        cs = [jax.lax.dot_general(
+            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(state_dtype)
+            for j in range(k)]
+        dw = jnp.stack([jax.lax.dot_general(
+            txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+            for j in range(k)]).astype(w2.dtype)
+        if k == 1:
+            dx = cs[0]
+        else:
+            u, prev_u = cs[k - 1], None
+            for j in range(k - 1, 1, -1):
+                u, prev_u = _mm(u, 2.0, cs[j - 1], prev_u), u
+            dx = _mm(u, 1.0, cs[0], prev_u)
+        return dx.astype(state_dtype), dw
+
+    f.defvjp(fwd, bwd)
+    return f(xt, w2)
+
+
 def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
                              bias: jnp.ndarray | None,
                              precision=None) -> jnp.ndarray:
@@ -232,24 +299,31 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
     xt = jnp.pad(xt, ((0, n_pad - n), (0, 0), (0, f_pad - f_in)))
     w = jnp.pad(weight.astype(state_dtype),
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
-    c = b * f_pad
-    prop = lambda t: bsr_matmul_sharded(
-        sbsr, t.astype(op_dtype).reshape(n_pad, c), mesh,
-        precision=prec).reshape(n_pad, b, f_pad)
-    step = lambda t1, t0: cheb_step_sharded(
-        sbsr, t1.astype(op_dtype).reshape(n_pad, c), t0.reshape(n_pad, c),
-        mesh, precision=prec).reshape(n_pad, b, f_pad)
+    from .pallas_cheb import FUSED_BWD
 
-    txs = [xt]
-    if k > 1:
-        txs.append(prop(xt))
-    for _ in range(2, k):
-        txs.append(step(txs[-1], txs[-2]))
-    out = jax.lax.dot_general(
-        jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
-        (((2,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32)  # [N, B, F_out], f32 accum
+    if FUSED_BWD:
+        out = _basis_mix_sharded(sbsr, mesh, xt, w, k, prec, state_dtype,
+                                 op_dtype)
+    else:
+        c = b * f_pad
+        prop = lambda t: bsr_matmul_sharded(
+            sbsr, t.astype(op_dtype).reshape(n_pad, c), mesh,
+            precision=prec).reshape(n_pad, b, f_pad)
+        step = lambda t1, t0: cheb_step_sharded(
+            sbsr, t1.astype(op_dtype).reshape(n_pad, c),
+            t0.reshape(n_pad, c), mesh,
+            precision=prec).reshape(n_pad, b, f_pad)
+
+        txs = [xt]
+        if k > 1:
+            txs.append(prop(xt))
+        for _ in range(2, k):
+            txs.append(step(txs[-1], txs[-2]))
+        out = jax.lax.dot_general(
+            jnp.concatenate(txs, axis=-1), w.reshape(k * f_pad, f_out),
+            (((2,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # [N, B, F_out] f32 accum
 
     out = out[:n].astype(state_dtype)
     out = jnp.transpose(out, (1, 0, 2))  # [B, N, F_out]

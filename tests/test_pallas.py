@@ -242,6 +242,67 @@ class TestChebConvPallas:
         assert gx.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
 
+    @pytest.mark.parametrize("fused_bwd", [True, False])
+    def test_gradients_match_dense(self, big_graph, fused_bwd):
+        """The shipping pallas path's backward (fused reverse recurrence
+        when FUSED_BWD, autodiff through bsr_matmul/cheb_step otherwise)
+        must match dense-HIGHEST gradients for every order count."""
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(17)
+        old = pc.FUSED_BWD
+        pc.FUSED_BWD = fused_bwd
+        try:
+            for K in (1, 2, 3, 6):
+                b, f_in, f_out = 4, 8, 16
+                x = jnp.asarray(rng.standard_normal((b, op.n, f_in)),
+                                jnp.float32)
+                w = jnp.asarray(0.1 * rng.standard_normal((K, f_in, f_out)),
+                                jnp.float32)
+                bias = jnp.asarray(0.1 * rng.standard_normal(f_out),
+                                   jnp.float32)
+                tgt = jnp.asarray(rng.standard_normal((b, op.n, f_out)),
+                                  jnp.float32)
+
+                def loss(x_, w_, b_, method):
+                    o = cheb_conv(x_, op, w_, b_, method=method,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    return jnp.sum((o - tgt) ** 2)
+
+                gd = jax.grad(lambda *a: loss(*a, "dense"),
+                              argnums=(0, 1, 2))(x, w, bias)
+                gp = jax.grad(lambda *a: loss(*a, "pallas"),
+                              argnums=(0, 1, 2))(x, w, bias)
+                for a, c, name in zip(gd, gp, ("dx", "dw", "dbias")):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4,
+                        err_msg=f"K={K} fused_bwd={fused_bwd} {name}")
+        finally:
+            pc.FUSED_BWD = old
+
+    def test_fused_backward_high_precision(self, big_graph):
+        """bf16x3 (HIGH) backward through the two-seed kernel stays inside
+        the gradient parity budget."""
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(19)
+        K, b, f_in, f_out = 6, 4, 8, 16
+        x = jnp.asarray(rng.standard_normal((b, op.n, f_in)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((K, f_in, f_out)),
+                        jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((b, op.n, f_out)), jnp.float32)
+
+        def loss(x_, method, prec):
+            o = cheb_conv(x_, op, w, None, method=method, precision=prec)
+            return jnp.sum((o - tgt) ** 2)
+
+        gd = jax.grad(lambda a: loss(a, "dense",
+                                     jax.lax.Precision.HIGHEST))(x)
+        gh = jax.grad(lambda a: loss(a, "pallas", "high"))(x)
+        scale = np.abs(np.asarray(gd)).max()
+        delta = np.abs(np.asarray(gd) - np.asarray(gh)).max()
+        assert delta / scale < 1e-3
+
     def test_odd_feature_width_pads(self, big_graph):
         # F_in = 3 with batch 4 -> C = 12, padded up to the column panel
         mesh, adj = big_graph
