@@ -9,6 +9,13 @@ kept activations vertex-major those copies would vanish. This probe times
 a chained scan of the level-0 conv in both forms to size that win before
 committing to the model-wide layout change.
 
+MEASURED (v5e, bs128 bf16, 30-iter scan, same window): batch_major
+2.258 ms/iter vs vertex_major 2.250 ms/iter — 0.4%, inside noise. XLA
+folds the transposes into the pad/cast copies that bracket the kernel
+call anyway, so the model-wide vertex-major layout change buys nothing;
+the model keeps its reference-shaped [B, N, F] API. (Executable negative
+result, same standard as ops/pallas_fused.py.)
+
 Usage: python benchmarks/layout_probe.py [--batch-size 128]
            [--compute-dtype bfloat16] [--iters 30]
 """

@@ -24,14 +24,21 @@ _COL_PANEL = 128
 
 # VMEM allowance for the column-major kernel's resident output panel
 # ([n_pad, panel] f32); levels too tall for any panel fall back to the
-# row-major kernel. Env-overridable for tuning.
+# row-major kernel. Env-overridable for tuning. NOTE: Mosaic
+# double-buffers the output panel even though its index map is constant
+# per panel, so the true VMEM footprint is 2x the panel bytes — budgets
+# past ~8 MB compile-crash with "Ran out of memory in memory space vmem
+# ... 20.50M and limit 16.00M" at a 1024-wide bf16 panel on the 5k level
+# (measured; this is why the default stays 6 MB).
 COLMAJOR_VMEM_BUDGET = int(__import__("os").environ.get(
     "MESHVAE_COLMAJOR_BUDGET", str(6 * 1024 * 1024)))
 
 # Tuning escape hatch: take the col-major kernel whenever its panel fits
-# the budget, even if that panel is NARROWER than row-major's (the default
-# heuristic rejects that case — measured -6% on f32 bs128; the bf16-state
-# byte ratios differ, so the sweep needs to re-ask).
+# the budget, even if that panel is NARROWER than row-major's. The
+# default heuristic rejects that case — measured -6% on f32 bs128, and
+# re-asked for bf16-state at an 8 MB budget (panel 512): 1.005 ms vs
+# row-major's 0.99 ms on the level-0 SpMM — so the rejection stands in
+# both byte regimes.
 FORCE_COLMAJOR = bool(int(__import__("os").environ.get(
     "MESHVAE_COLMAJOR_FORCE", "0")))
 
