@@ -138,17 +138,23 @@ class TestDataParallel:
             from meshvae_tpu.models.vae import MeshVAE, VAEConfig
             pmodel = MeshVAE(VAEConfig.from_config(
                 cfg, coarse_verts=hier.levels[-1]))
-            _, m_single = _one_step(pmodel, ops, cfg, batch, mean, std,
-                                    mesh=None)
+            p_single, m_single = _one_step(pmodel, ops, cfg, batch, mean,
+                                           std, mesh=None)
             dmesh = make_device_mesh(dp=4, sp=2)
-            _, m_mesh = _one_step(pmodel, ops, cfg, batch, mean, std,
-                                  mesh=dmesh)
+            p_mesh, m_mesh = _one_step(pmodel, ops, cfg, batch, mean, std,
+                                       mesh=dmesh)
         finally:
             graph_mod.PALLAS_MIN_N = saved
             pc.INTERPRET = False
         for k in m_single:
             np.testing.assert_allclose(m_mesh[k], m_single[k], rtol=1e-5,
                                        atol=1e-6, err_msg=k)
+        # post-update params certify the BACKWARD pass (the fused adjoint
+        # recurrence in _basis_mix_sharded), not just the forward loss
+        for a, b in zip(jax.tree_util.tree_leaves(p_single),
+                        jax.tree_util.tree_leaves(p_mesh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
 
 class TestScannedPathsUnderMesh:
