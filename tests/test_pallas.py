@@ -242,16 +242,22 @@ class TestChebConvPallas:
         assert gx.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
 
-    @pytest.mark.parametrize("fused_bwd", [True, False])
-    def test_gradients_match_dense(self, big_graph, fused_bwd):
+    @pytest.mark.parametrize("fused_bwd,colmajor", [
+        (True, True), (True, False), (False, True)])
+    def test_gradients_match_dense(self, big_graph, fused_bwd, colmajor):
         """The shipping pallas path's backward (fused reverse recurrence
         when FUSED_BWD, autodiff through bsr_matmul/cheb_step otherwise)
-        must match dense-HIGHEST gradients for every order count."""
+        must match dense-HIGHEST gradients for every order count. The
+        small test shapes always fit the col-major VMEM budget, so the
+        ROW-major two-seed kernel needs its own leg (budget forced to 0)."""
         mesh, adj = big_graph
         op = cheb_operator(adj)
         rng = np.random.default_rng(17)
         old = pc.FUSED_BWD
+        old_budget = pc.COLMAJOR_VMEM_BUDGET
         pc.FUSED_BWD = fused_bwd
+        if not colmajor:
+            pc.COLMAJOR_VMEM_BUDGET = 0
         try:
             for K in (1, 2, 3, 6):
                 b, f_in, f_out = 4, 8, 16
@@ -279,6 +285,7 @@ class TestChebConvPallas:
                         err_msg=f"K={K} fused_bwd={fused_bwd} {name}")
         finally:
             pc.FUSED_BWD = old
+            pc.COLMAJOR_VMEM_BUDGET = old_budget
 
     def test_fused_backward_high_precision(self, big_graph):
         """bf16x3 (HIGH) backward through the two-seed kernel stays inside
