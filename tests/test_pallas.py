@@ -287,12 +287,17 @@ class TestChebConvPallas:
             pc.FUSED_BWD = old
             pc.COLMAJOR_VMEM_BUDGET = old_budget
 
-    def test_fused_backward_high_precision(self, big_graph):
+    @pytest.mark.parametrize("colmajor", [True, False])
+    def test_fused_backward_high_precision(self, big_graph, colmajor):
         """bf16x3 (HIGH) backward through the two-seed kernel stays inside
-        the gradient parity budget."""
+        the gradient parity budget (both kernel orientations; the real-TPU
+        bs16 HIGH config runs row-major)."""
         mesh, adj = big_graph
         op = cheb_operator(adj)
         rng = np.random.default_rng(19)
+        old_budget = pc.COLMAJOR_VMEM_BUDGET
+        if not colmajor:
+            pc.COLMAJOR_VMEM_BUDGET = 0
         K, b, f_in, f_out = 6, 4, 8, 16
         x = jnp.asarray(rng.standard_normal((b, op.n, f_in)), jnp.float32)
         w = jnp.asarray(0.1 * rng.standard_normal((K, f_in, f_out)),
@@ -303,9 +308,12 @@ class TestChebConvPallas:
             o = cheb_conv(x_, op, w, None, method=method, precision=prec)
             return jnp.sum((o - tgt) ** 2)
 
-        gd = jax.grad(lambda a: loss(a, "dense",
-                                     jax.lax.Precision.HIGHEST))(x)
-        gh = jax.grad(lambda a: loss(a, "pallas", "high"))(x)
+        try:
+            gd = jax.grad(lambda a: loss(a, "dense",
+                                         jax.lax.Precision.HIGHEST))(x)
+            gh = jax.grad(lambda a: loss(a, "pallas", "high"))(x)
+        finally:
+            pc.COLMAJOR_VMEM_BUDGET = old_budget
         scale = np.abs(np.asarray(gd)).max()
         delta = np.abs(np.asarray(gd) - np.asarray(gh)).max()
         assert delta / scale < 1e-3
