@@ -47,6 +47,10 @@ class GCNConfig:
     pool_method: str = "gather"
     precision: str | None = None
     compute_dtype: str = "float32"
+    # does the NETWORK input need a gradient? False for crecon (frozen
+    # VAE -> diff features are constants), True for joint training where
+    # the classifier loss backprops through diff into the VAE decoder
+    input_grad: bool = True
 
     @staticmethod
     def from_config(cfg: dict, coarse_verts: int, num_features: int = 6) -> "GCNConfig":
@@ -79,6 +83,10 @@ class ChebConvGlorot(nn.Module):
     method: str = "dense"
     precision: str | None = None
     dtype: jnp.dtype = jnp.float32
+    # False ONLY when the conv input never needs a gradient (crecon's
+    # frozen diff features); the joint model differentiates through the
+    # diff into the VAE, so it must stay True there
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, x, op):
@@ -87,7 +95,7 @@ class ChebConvGlorot(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
         return cheb_conv(x.astype(self.dtype), op, weight.astype(self.dtype),
                          bias.astype(self.dtype), method=self.method,
-                         precision=self.precision)
+                         precision=self.precision, input_grad=self.input_grad)
 
 
 class ChebGCN(nn.Module):
@@ -100,7 +108,8 @@ class ChebGCN(nn.Module):
         kw = dict(method=c.cheb_method, precision=c.precision, dtype=c.dtype)
         self.cheb = [
             ChebConvGlorot(filters[i], filters[i + 1], c.polygon_order[i], **kw,
-                           name=f"cheb_{i}")
+                           name=f"cheb_{i}",
+                           input_grad=(i != 0) or c.input_grad)
             for i in range(len(filters) - 2)
         ]
         # flatten width uses the last conv's output filters (== filters[-2] of

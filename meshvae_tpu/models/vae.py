@@ -68,6 +68,9 @@ class ChebConvLayer(nn.Module):
     method: str = "dense"
     precision: str | None = None
     dtype: jnp.dtype = jnp.float32
+    # False ONLY for convs whose input never needs a gradient (first
+    # encoder conv on raw data) — see cheb_conv's caller contract
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, op: GraphOperator) -> jnp.ndarray:
@@ -81,7 +84,8 @@ class ChebConvLayer(nn.Module):
         )
         return cheb_conv(x.astype(self.dtype), op, weight.astype(self.dtype),
                          None if bias is None else bias.astype(self.dtype),
-                         method=self.method, precision=self.precision)
+                         method=self.method, precision=self.precision,
+                         input_grad=self.input_grad)
 
 
 def _dense(features: int, fan_in: int, kernel_init=None, name: str | None = None,
@@ -161,8 +165,12 @@ class MeshVAE(nn.Module):
             for i in range(len(filters) - 1)
         ]
         kw = dict(method=c.cheb_method, precision=c.precision, dtype=c.dtype)
+        # cheb_enc_0 consumes the raw (normalized) vertices — nothing ever
+        # demands d loss/d x, so its pallas backward can skip the dx
+        # recurrence (input_grad=False; see cheb_conv)
         self.cheb = [
-            ChebConvLayer(i, o, k, **kw, name=f"cheb_enc_{n}")
+            ChebConvLayer(i, o, k, **kw, name=f"cheb_enc_{n}",
+                          input_grad=(n != 0))
             for n, (i, o, k) in enumerate(enc_specs)
         ]
         self.cheb_dec = [

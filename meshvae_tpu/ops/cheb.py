@@ -26,6 +26,11 @@ from .graph import GraphOperator
 
 _DEFAULT_METHOD = "dense"
 
+# benchmarking A/B knob: set MESHVAE_FORCE_INPUT_GRAD=1 to make every conv
+# emit the full dx backward even where the caller declared it dead
+import os as _os
+_FORCE_INPUT_GRAD = bool(int(_os.environ.get("MESHVAE_FORCE_INPUT_GRAD", "0")))
+
 _PRECISION_NAMES = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
@@ -73,7 +78,17 @@ def cheb_conv(
     bias: jnp.ndarray | None = None,
     method: str = _DEFAULT_METHOD,
     precision=None,
+    input_grad: bool = True,
 ) -> jnp.ndarray:
+    """input_grad=False declares that no gradient will ever be demanded
+    w.r.t. x (first conv on raw data / frozen features): the pallas path's
+    custom backward then skips its dx recurrence — K-1 kernel calls that
+    JAX pruning and XLA DCE cannot remove through an opaque custom_vjp
+    (dense/ell are plain HLOs, where autodiff prunes automatically and
+    the flag is a no-op). Setting it on a conv whose input DOES need
+    gradients silently zeroes them — caller contract."""
+    if _FORCE_INPUT_GRAD:   # A/B knob: disable the dx-skip optimization
+        input_grad = True
     if method == "pallas_fused":
         raise ValueError(
             "cheb_method=pallas_fused was retired: it is strictly dominated "
@@ -97,7 +112,8 @@ def cheb_conv(
                                ell_w=op.ell_w, bsr=op.bsr, n=op.active_n,
                                bsr_sp=op.bsr_sp, mesh=op.mesh)
         inner = cheb_conv(x[:, : op.active_n], corner, weight, bias,
-                          method=method, precision=precision)
+                          method=method, precision=precision,
+                          input_grad=input_grad)
         coeffs = [1.0 if i % 4 == 0 else (-1.0 if i % 4 == 2 else 0.0)
                   for i in range(k)]
         w_eff = sum(c * weight[i] for i, c in enumerate(coeffs) if c != 0.0)
@@ -111,11 +127,13 @@ def cheb_conv(
             from .pallas_shard import cheb_conv_pallas_sharded
 
             return cheb_conv_pallas_sharded(x, op, weight, bias,
-                                            precision=precision)
+                                            precision=precision,
+                                            input_grad=input_grad)
         if op.bsr is not None:
             from .pallas_cheb import cheb_conv_pallas
 
-            return cheb_conv_pallas(x, op, weight, bias, precision=precision)
+            return cheb_conv_pallas(x, op, weight, bias, precision=precision,
+                                    input_grad=input_grad)
         # hybrid dispatch: levels below graph.PALLAS_MIN_N materialize a
         # dense operator instead of BSR (build_operators/layouts_for_method)
         # — the whole operator is tiny and XLA fuses the propagation into

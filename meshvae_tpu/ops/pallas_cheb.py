@@ -416,7 +416,8 @@ def cheb_step(bsr: BlockSparseOperator, t1: jnp.ndarray, t0: jnp.ndarray,
 
 
 def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
-               k: int, prec, state_dtype, op_dtype) -> jnp.ndarray:
+               k: int, prec, state_dtype, op_dtype,
+               input_grad: bool = True) -> jnp.ndarray:
     """Chebyshev basis + stacked mix with a FUSED custom backward.
 
     Forward: txs = [T_0..T_{k-1}] (fused recurrence steps), then one wide
@@ -430,6 +431,15 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
     -= g to the k-2 cotangent), each streaming the full activation through
     HBM three times. Final dx = L b_1 + c_0 - b_2 is one more fused call;
     zero standalone elementwise ops remain.
+
+    input_grad=False skips the dx recurrence entirely (returns a zero
+    cotangent) for convs whose input carries no gradient — the first
+    encoder conv on raw data, crecon's frozen diff features. Autodiff
+    prunes that chain automatically, but a custom_vjp's backward is
+    opaque to both JAX's symbolic-zero pruning and XLA DCE (a pallas
+    custom call is not provably side-effect-free), so without the flag
+    the dead K-1 kernel calls re-stream the whole operator — measured
+    -3.5% on the 20k/K=10 workload.
     """
     n_pad, b, f_pad = xt.shape
     f_out = w2.shape[-1]
@@ -469,17 +479,19 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
         # mix-backward dots then run at operand width exactly as autodiff's
         # transpose rule would
         gm = g.astype(state_dtype)
-        # per-order cotangents and weight grads as K narrow dots — each
-        # output lands contiguous (a single wide g @ W^T would need a
-        # strided slice+copy per order to feed the kernel seeds)
-        cs = [jax.lax.dot_general(
-            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32).astype(state_dtype)
-            for j in range(k)]
         dw = jnp.stack([jax.lax.dot_general(
             txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32)
             for j in range(k)]).astype(w2.dtype)
+        if not input_grad:
+            return jnp.zeros_like(txs[0]), dw
+        # per-order cotangents as K narrow dots — each output lands
+        # contiguous (a single wide g @ W^T would need a strided
+        # slice+copy per order to feed the kernel seeds)
+        cs = [jax.lax.dot_general(
+            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(state_dtype)
+            for j in range(k)]
         if k == 1:
             dx = cs[0]
         else:
@@ -503,7 +515,7 @@ def _pad_amounts(n: int, b: int, f: int):
 
 def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
                      bias: jnp.ndarray | None,
-                     precision=None) -> jnp.ndarray:
+                     precision=None, input_grad: bool = True) -> jnp.ndarray:
     """Chebyshev conv with Pallas block-sparse propagation.
 
     x: [B, N, F_in] -> [B, N, F_out]. The recurrence runs in a padded
@@ -535,7 +547,8 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
         # the reverse Chebyshev recurrence as fused two-seed kernel calls
         # (see _basis_mix) instead of autodiff's per-order kernel + two
         # full-activation elementwise HBM round-trips.
-        out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype)
+        out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype,
+                         input_grad=input_grad)
     else:
         c = b * f_pad
         prop = lambda t: bsr_matmul(

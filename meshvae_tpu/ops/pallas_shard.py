@@ -195,7 +195,7 @@ def cheb_step_sharded(sbsr: ShardedBlockSparse, t1: jnp.ndarray,
 
 def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
                        w2: jnp.ndarray, k: int, prec, state_dtype,
-                       op_dtype) -> jnp.ndarray:
+                       op_dtype, input_grad: bool = True) -> jnp.ndarray:
     """Sharded basis + stacked mix with the FUSED custom backward (the
     distributed form of pallas_cheb._basis_mix): the adjoint recurrence
     b_{j-1} = 2 L b_j + c_{j-1} - b_{j+1} runs as two-seed sharded kernel
@@ -242,14 +242,18 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
     def bwd(res, g):
         txs, w2 = res
         gm = g.astype(state_dtype)
-        cs = [jax.lax.dot_general(
-            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32).astype(state_dtype)
-            for j in range(k)]
         dw = jnp.stack([jax.lax.dot_general(
             txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32)
             for j in range(k)]).astype(w2.dtype)
+        if not input_grad:
+            # see pallas_cheb._basis_mix: dead-dx chains inside a
+            # custom_vjp are invisible to JAX pruning and XLA DCE
+            return jnp.zeros_like(txs[0]), dw
+        cs = [jax.lax.dot_general(
+            gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32).astype(state_dtype)
+            for j in range(k)]
         if k == 1:
             dx = cs[0]
         else:
@@ -264,8 +268,8 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
 
 
 def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
-                             bias: jnp.ndarray | None,
-                             precision=None) -> jnp.ndarray:
+                             bias: jnp.ndarray | None, precision=None,
+                             input_grad: bool = True) -> jnp.ndarray:
     """Chebyshev conv with the vertex-sharded kernel: the recurrence state
     lives row-sharded over "sp" (and batch-column-sharded over "dp"); each
     propagation all-gathers activations over ICI and computes local rows.
@@ -303,7 +307,7 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
 
     if FUSED_BWD:
         out = _basis_mix_sharded(sbsr, mesh, xt, w, k, prec, state_dtype,
-                                 op_dtype)
+                                 op_dtype, input_grad=input_grad)
     else:
         c = b * f_pad
         prop = lambda t: bsr_matmul_sharded(

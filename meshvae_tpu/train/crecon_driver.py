@@ -13,6 +13,7 @@ GCN step separately); the frozen VAE params ride as ordinary device arrays
 from __future__ import annotations
 
 import copy
+import dataclasses
 import os
 import time
 
@@ -248,6 +249,9 @@ def run(config: dict, do_train: bool, do_test: bool):
     gcn_cfg = GCNConfig.from_config(
         config, coarse_verts=hier.levels[-1],
         num_features=2 * template.v.shape[1])
+    # the diff features come from the FROZEN VAE — no gradient ever flows
+    # back into them, so the first conv's pallas backward may skip dx
+    gcn_cfg = dataclasses.replace(gcn_cfg, input_grad=False)
     gcn = ChebGCN(gcn_cfg)
     from ..parallel.sharding import make_device_mesh
 

@@ -287,6 +287,36 @@ class TestChebConvPallas:
             pc.FUSED_BWD = old
             pc.COLMAJOR_VMEM_BUDGET = old_budget
 
+    def test_input_grad_false_keeps_param_grads(self, big_graph):
+        """input_grad=False must leave dw/dbias bit-identical to the full
+        backward and return a zero dx (the flag only skips the dead dx
+        recurrence — see cheb_conv's caller contract)."""
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(23)
+        K, b, f_in, f_out = 6, 4, 8, 16
+        x = jnp.asarray(rng.standard_normal((b, op.n, f_in)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((K, f_in, f_out)),
+                        jnp.float32)
+        bias = jnp.asarray(0.1 * rng.standard_normal(f_out), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((b, op.n, f_out)), jnp.float32)
+
+        def loss(x_, w_, b_, input_grad):
+            o = cheb_conv(x_, op, w_, b_, method="pallas",
+                          precision=jax.lax.Precision.HIGHEST,
+                          input_grad=input_grad)
+            return jnp.sum((o - tgt) ** 2)
+
+        g_full = jax.grad(lambda *a: loss(*a, True),
+                          argnums=(0, 1, 2))(x, w, bias)
+        g_skip = jax.grad(lambda *a: loss(*a, False),
+                          argnums=(0, 1, 2))(x, w, bias)
+        np.testing.assert_array_equal(np.asarray(g_full[1]),
+                                      np.asarray(g_skip[1]))
+        np.testing.assert_array_equal(np.asarray(g_full[2]),
+                                      np.asarray(g_skip[2]))
+        assert not np.any(np.asarray(g_skip[0]))
+
     @pytest.mark.parametrize("colmajor", [True, False])
     def test_fused_backward_high_precision(self, big_graph, colmajor):
         """bf16x3 (HIGH) backward through the two-seed kernel stays inside
