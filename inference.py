@@ -26,6 +26,15 @@ def main():
                         help="write inference.json")
     parser.add_argument("--no-meshes", action="store_true",
                         help="skip writing recon/gt/oppo .obj files")
+    parser.add_argument("--export", metavar="PATH", default=None,
+                        help="instead of running inference, serialize the "
+                             "whole jitted serving step (params + operators "
+                             "baked in) to a self-contained jax.export "
+                             "artifact at PATH and exit")
+    parser.add_argument("--export-platforms", default=None,
+                        help="comma-separated lowering platforms for "
+                             "--export (e.g. cpu,tpu); default: current "
+                             "backend")
     parser.add_argument("--cpu", action="store_true", help="force cpu")
     args = parser.parse_args()
 
@@ -70,6 +79,22 @@ def main():
                    allow_pickle=True)
     mean = norm["mean"].astype(np.float32)
     std = norm["std"].astype(np.float32)
+
+    if args.export:
+        from meshvae_tpu.infer.export import (export_serving_step,
+                                              save_serving_artifact)
+        platforms = (args.export_platforms.split(",")
+                     if args.export_platforms else None)
+        data = export_serving_step(
+            model, ops, params, mean, std,
+            batch_size=int(config["batch_size"]),
+            num_vertices=int(np.asarray(template.v).shape[0]),
+            platforms=platforms,
+            allow_custom_calls=config.get("cheb_method", "dense") == "pallas")
+        save_serving_artifact(args.export, data)
+        print(f"serving artifact written to {args.export} "
+              f"({len(data) / 1e6:.1f} MB)")
+        return
 
     any_selected = args.pred or args.error_list or args.inference
     run_inference(

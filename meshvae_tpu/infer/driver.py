@@ -73,14 +73,18 @@ class InferenceEngine:
 
         recon_orig = to_orig(recon)
         oppo_orig = to_orig(recon_oppo)
-        err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2, axis=-1))
-        return {
+        out = {
             "pred": pred,
             "recon_orig": recon_orig,
             "oppo_orig": oppo_orig,
-            "err_mean": err.mean(axis=-1),
-            "err_max": err.max(axis=-1),
         }
+        # ground truth is absent in the serving-export path (infer/export.py)
+        if "original" in batch:
+            err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2,
+                                   axis=-1))
+            out["err_mean"] = err.mean(axis=-1)
+            out["err_max"] = err.max(axis=-1)
+        return out
 
     def put_batch(self, batch: dict) -> dict:
         """Host batch -> device, batch axis sharded over dp when meshed."""
