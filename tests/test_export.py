@@ -83,6 +83,24 @@ class TestServingExport:
                                        np.asarray(ref[k]),
                                        rtol=1e-6, atol=1e-6)
 
+    def test_multi_platform_artifact(self, small_setup):
+        """One artifact lowered for BOTH cpu and tpu — the actual serving
+        deliverable (dev-box + TPU slice from the same bytes). Execution is
+        checked on cpu; the tpu lowering is carried alongside."""
+        import jax.export as jax_export
+        config, model, ops, template, params = small_setup
+        n = np.asarray(template.v).shape[0]
+        mean = np.zeros((n, 3), np.float32)
+        std = np.ones((n, 3), np.float32)
+        data = export_serving_step(model, ops, params, mean, std,
+                                   batch_size=2, num_vertices=n,
+                                   platforms=("cpu", "tpu"))
+        exported = jax_export.deserialize(data)
+        assert exported.platforms == ("cpu", "tpu")
+        x, r, s, m = _fake_batch(n, 2, seed=5)
+        out = exported.call(x, r, s, m)
+        assert np.asarray(out["recon_orig"]).shape == (2, n, 3)
+
     def test_engine_step_still_reports_errors(self, small_setup):
         """The serving refactor made ground truth optional — the driver path
         (batch WITH "original") must still emit err_mean/err_max."""
