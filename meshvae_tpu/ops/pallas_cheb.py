@@ -458,33 +458,38 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
             txs.append(_mm(xt, 1.0, None, None))
         for _ in range(2, k):
             txs.append(_mm(txs[-1], 2.0, None, txs[-2]))
+        txcat = jnp.concatenate(txs, axis=-1)  # [n_pad, b, k*f_pad]
         out = jax.lax.dot_general(
-            jnp.concatenate(txs, axis=-1), w2.reshape(k * f_pad, f_out),
+            txcat, w2.reshape(k * f_pad, f_out),
             (((2,), (0,)), ((), ())),
             precision=prec,
             preferred_element_type=jnp.float32)  # [n_pad, b, f_out] f32
-        return out, txs
+        return out, txcat
 
     @jax.custom_vjp
     def f(xt, w2):
         return _forward(xt, w2)[0]
 
     def fwd(xt, w2):
-        out, txs = _forward(xt, w2)
-        return out, (tuple(txs), w2)
+        # residual is the already-materialized concatenated basis, so the
+        # backward's dW runs as ONE wide dot instead of K narrow ones
+        out, txcat = _forward(xt, w2)
+        return out, (txcat, w2)
 
     def bwd(res, g):  # g: [n_pad, b, f_out] f32
-        txs, w2 = res
+        txcat, w2 = res
         # one cast of the (small) output cotangent to the state dtype: the
         # mix-backward dots then run at operand width exactly as autodiff's
         # transpose rule would
         gm = g.astype(state_dtype)
-        dw = jnp.stack([jax.lax.dot_general(
-            txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-            for j in range(k)]).astype(w2.dtype)
+        # ALL K dW dots as one [k*f_pad, f_out] contraction over (rows,
+        # batch): gm streams from HBM once instead of K times
+        dw = jax.lax.dot_general(
+            txcat, gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32
+        ).reshape(k, f_pad, f_out).astype(w2.dtype)
         if not input_grad:
-            return jnp.zeros_like(txs[0]), dw
+            return jnp.zeros((n_pad, b, f_pad), txcat.dtype), dw
         # per-order cotangents as K narrow dots — each output lands
         # contiguous (a single wide g @ W^T would need a strided
         # slice+copy per order to feed the kernel seeds)

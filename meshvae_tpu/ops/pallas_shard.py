@@ -224,32 +224,35 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
             txs.append(_mm(xt, 1.0, None, None))
         for _ in range(2, k):
             txs.append(_mm(txs[-1], 2.0, None, txs[-2]))
+        txcat = jnp.concatenate(txs, axis=-1)  # [n_pad, b, k*f_pad]
         out = jax.lax.dot_general(
-            jnp.concatenate(txs, axis=-1), w2.reshape(k * f_pad, f_out),
+            txcat, w2.reshape(k * f_pad, f_out),
             (((2,), (0,)), ((), ())),
             precision=prec,
             preferred_element_type=jnp.float32)
-        return out, txs
+        return out, txcat
 
     @jax.custom_vjp
     def f(xt, w2):
         return _forward(xt, w2)[0]
 
     def fwd(xt, w2):
-        out, txs = _forward(xt, w2)
-        return out, (tuple(txs), w2)
+        # residual = the already-materialized concatenated basis (see
+        # pallas_cheb._basis_mix: one wide dW dot, gm streamed once)
+        out, txcat = _forward(xt, w2)
+        return out, (txcat, w2)
 
     def bwd(res, g):
-        txs, w2 = res
+        txcat, w2 = res
         gm = g.astype(state_dtype)
-        dw = jnp.stack([jax.lax.dot_general(
-            txs[j], gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-            for j in range(k)]).astype(w2.dtype)
+        dw = jax.lax.dot_general(
+            txcat, gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32
+        ).reshape(k, f_pad, f_out).astype(w2.dtype)
         if not input_grad:
             # see pallas_cheb._basis_mix: dead-dx chains inside a
             # custom_vjp are invisible to JAX pruning and XLA DCE
-            return jnp.zeros_like(txs[0]), dw
+            return jnp.zeros((n_pad, b, f_pad), txcat.dtype), dw
         cs = [jax.lax.dot_general(
             gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32).astype(state_dtype)
