@@ -64,6 +64,16 @@ BF16_STATE = bool(int(__import__("os").environ.get(
 FUSED_BWD = bool(int(__import__("os").environ.get(
     "MESHVAE_FUSED_BWD", "1")))
 
+# Fused seed dot: the backward recurrence's per-order mix cotangent
+# c_j = gm @ W_jᵀ is computed INSIDE the kernel's first-visit branch
+# (a [BLOCK*panel/f, f] @ [f, f] dot on the VMEM-resident gm tile)
+# instead of a standalone XLA dot — eliminating, per order, one full
+# read of gm and one write of c_j through HBM. Only square mixes
+# (f_pad == f_out, f dividing the 128-column panel) fuse; others keep
+# the standalone dot. MESHVAE_FUSED_SEED_DOT=0 disables for A/B.
+FUSED_SEED_DOT = bool(int(__import__("os").environ.get(
+    "MESHVAE_FUSED_SEED_DOT", "1")))
+
 
 def _seed_with(contrib, tprev_ref, tplus_ref):
     """Accumulator seed contrib [+ t_plus] [− t_prev], f32."""
@@ -75,14 +85,16 @@ def _seed_with(contrib, tprev_ref, tplus_ref):
     return seed
 
 
-def _accumulate(first_ref, o_ref, contrib, tprev_ref, tplus_ref=None):
+def _accumulate(first_ref, o_ref, contrib, tprev_ref, tplus_ref=None,
+                plus_fn=None):
     """Row-major accumulation into the revisited output row-block. With
     fused seed operands, the first block of a row seeds the accumulator
     with −T_{k−2}[row] (forward recurrence: 2·L·T_{k−1} − T_{k−2}, the ×2
     lives in alpha upstream) and/or +t_plus[row] (backward recurrence:
     2·L·b_k + c_{k−1} − b_{k+1}) — folding the Chebyshev elementwise steps
     into the SpMM instead of separate XLA kernels that round-trip the
-    whole activation through HBM once per order.
+    whole activation through HBM once per order. plus_fn, when given,
+    computes an extra additive seed lazily (only first visits pay it).
 
     contrib arrives f32 (MXU accumulation); o_ref may be bf16 in the
     bf16-state mode — each store rounds, which at ~3 occupied blocks per
@@ -92,48 +104,76 @@ def _accumulate(first_ref, o_ref, contrib, tprev_ref, tplus_ref=None):
 
     @pl.when(first_ref[b] == 1)
     def _():
-        o_ref[:] = _seed_with(contrib, tprev_ref, tplus_ref).astype(odt)
+        seed = _seed_with(contrib, tprev_ref, tplus_ref)
+        if plus_fn is not None:
+            seed = seed + plus_fn()
+        o_ref[:] = seed.astype(odt)
 
     @pl.when(first_ref[b] == 0)
     def _():
         o_ref[:] = (o_ref[:].astype(jnp.float32) + contrib).astype(odt)
 
 
-def _split_seeds(rest, has_m, has_p):
-    """Unpack (t_prev?, t_plus?, o_ref) from a kernel's trailing refs."""
+def _split_seeds(rest, has_m, has_p, has_pd=False):
+    """Unpack (t_prev?, t_plus?, (gm, wT)?, o_ref) from trailing refs."""
     o_ref = rest[-1]
     seeds = rest[:-1]
     tprev = seeds[0] if has_m else None
     tplus = seeds[1 if has_m else 0] if has_p else None
-    return tprev, tplus, o_ref
+    pd = None
+    if has_pd:
+        pd = (seeds[-2], seeds[-1])
+    return tprev, tplus, pd, o_ref
 
 
-def _make_spmm_kernel(precision, alpha, has_m, has_p):
+def _seed_dot_fn(pd, precision):
+    """Lazy in-kernel mix-cotangent seed: c = gm @ Wᵀ computed on the
+    VMEM-resident gm tile (square f×f mix; panel columns group as
+    panel/f batch items × f features, so the reshape is layout-exact)."""
+    if pd is None:
+        return None
+    gm_ref, wt_ref = pd
+
+    def plus_fn():
+        f = wt_ref.shape[0]
+        gm = gm_ref[:]
+        rows, pnl = gm.shape
+        return jnp.dot(gm.reshape(rows * (pnl // f), f), wt_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=precision).reshape(rows, pnl)
+
+    return plus_fn
+
+
+def _make_spmm_kernel(precision, alpha, has_m, has_p, has_pd=False):
     def _kernel(brow_ref, bcol_ref, first_ref, l_ref, x_ref, *rest):
         # HIGHEST keeps the MXU in true-f32 mode (default truncates to
         # bf16, which breaks the <1e-4 parity budget); DEFAULT is the
         # opt-in bf16 speed mode.
-        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
+        tprev, tplus, pd, o_ref = _split_seeds(rest, has_m, has_p, has_pd)
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
-        _accumulate(first_ref, o_ref, contrib, tprev, tplus)
+        _accumulate(first_ref, o_ref, contrib, tprev, tplus,
+                    _seed_dot_fn(pd, precision))
 
     return _kernel
 
 
-def _colmajor_init(o_ref, tprev_ref, tplus_ref):
+def _colmajor_init(o_ref, tprev_ref, tplus_ref, plus_fn=None):
     """Seed the VMEM-resident panel at step 0: 0 [+ t_plus] [− t_prev]."""
     @pl.when(pl.program_id(1) == 0)
     def _():
-        if tprev_ref is None and tplus_ref is None:
+        if tprev_ref is None and tplus_ref is None and plus_fn is None:
             o_ref[:] = jnp.zeros_like(o_ref)
         else:
             seed = _seed_with(jnp.float32(0.0), tprev_ref, tplus_ref)
+            if plus_fn is not None:
+                seed = seed + plus_fn()
             o_ref[:] = seed.astype(o_ref.dtype)
 
 
-def _make_colmajor_kernel(precision, alpha, has_m, has_p):
+def _make_colmajor_kernel(precision, alpha, has_m, has_p, has_pd=False):
     """Column-major variant: the WHOLE [n_pad, panel] output panel stays
     VMEM-resident across the block loop (out index map is constant per
     panel), blocks iterate sorted by (col, row) so consecutive steps
@@ -149,8 +189,8 @@ def _make_colmajor_kernel(precision, alpha, has_m, has_p):
         o_ref[pl.ds(r, BLOCK), :] = (cur + contrib).astype(o_ref.dtype)
 
     def _kernel(ord_ref, brow_ref, bcol_ref, l_ref, x_ref, *rest):
-        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
-        _colmajor_init(o_ref, tprev, tplus)
+        tprev, tplus, pd, o_ref = _split_seeds(rest, has_m, has_p, has_pd)
+        _colmajor_init(o_ref, tprev, tplus, _seed_dot_fn(pd, precision))
         contrib = alpha * jnp.dot(l_ref[0], x_ref[:],
                                   preferred_element_type=jnp.float32,
                                   precision=precision)
@@ -162,7 +202,7 @@ def _make_colmajor_kernel(precision, alpha, has_m, has_p):
 def _make_colmajor_kernel_bf16x3(alpha, has_m, has_p):
     def _kernel(ord_ref, brow_ref, bcol_ref, lh_ref, ll_ref, xh_ref, xl_ref,
                 *rest):
-        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
+        tprev, tplus, _, o_ref = _split_seeds(rest, has_m, has_p)
         _colmajor_init(o_ref, tprev, tplus)
         dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
         contrib = alpha * (dot(lh_ref[0], xh_ref[:])
@@ -175,8 +215,8 @@ def _make_colmajor_kernel_bf16x3(alpha, has_m, has_p):
 
 
 def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
-                     panel: int, t_prev=None, t_plus=None, alpha=1.0,
-                     out_dtype=jnp.float32):
+                     panel: int, t_prev=None, t_plus=None, t_plus_dot=None,
+                     alpha=1.0, out_dtype=jnp.float32):
     """pallas_call for the column-major VMEM-panel kernel. Blocks are
     addressed through the scalar-prefetched (col, row)-sorted permutation
     ord — no duplicated block storage."""
@@ -186,6 +226,7 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     panels = c // panel
     has_m = t_prev is not None
     has_p = t_plus is not None
+    has_pd = t_plus_dot is not None
 
     block_spec = lambda: pl.BlockSpec(
         (1, BLOCK, BLOCK), lambda j, b, o, br, bc: (o[b], 0, 0),
@@ -197,6 +238,7 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
         (n_pad, panel), lambda j, b, o, br, bc: (0, j),
         memory_space=pltpu.VMEM)
     if high:
+        assert not has_pd  # bf16x3 keeps the standalone cotangent dot
         kernel = _make_colmajor_kernel_bf16x3(alpha, has_m, has_p)
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -206,7 +248,8 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_colmajor_kernel(precision, alpha, has_m, has_p)
+        kernel = _make_colmajor_kernel(precision, alpha, has_m, has_p,
+                                       has_pd)
         operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
@@ -214,6 +257,15 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
         if seed is not None:
             operands.append(seed)
             in_specs.append(seed_spec())
+    if has_pd:
+        gm2, wt = t_plus_dot
+        operands.extend([gm2, wt])
+        f = wt.shape[0]
+        in_specs.extend([
+            seed_spec(),
+            pl.BlockSpec((f, f), lambda j, b, o, br, bc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -225,6 +277,8 @@ def _colmajor_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     )
     op_bytes = bsr.blocks.dtype.itemsize
     act_bytes = x2d.dtype.itemsize + jnp.dtype(out_dtype).itemsize
+    if has_pd:
+        act_bytes += t_plus_dot[0].dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -251,7 +305,7 @@ def _make_spmm_kernel_bf16x3(alpha, has_m, has_p):
 
     def _kernel(brow_ref, bcol_ref, first_ref, lh_ref, ll_ref, xh_ref,
                 xl_ref, *rest):
-        tprev, tplus, o_ref = _split_seeds(rest, has_m, has_p)
+        tprev, tplus, _, o_ref = _split_seeds(rest, has_m, has_p)
         dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
         contrib = alpha * (dot(lh_ref[0], xh_ref[:])
                            + (dot(lh_ref[0], xl_ref[:])
@@ -263,11 +317,17 @@ def _make_spmm_kernel_bf16x3(alpha, has_m, has_p):
 
 def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
                      precision=None, t_prev=None, t_plus=None,
-                     alpha: float = 1.0) -> jnp.ndarray:
+                     t_plus_dot=None, alpha: float = 1.0) -> jnp.ndarray:
     """y = alpha * (L @ x2d) [+ t_plus] [- t_prev] with x2d
     [n_pad_cols, C], C a multiple of the column panel. t_prev (the fused
     forward-recurrence operand T_{k-2}, [n_pad, C]) subtracts inside the
-    kernel; t_plus (the fused backward-recurrence cotangent seed) adds."""
+    kernel; t_plus (the fused backward-recurrence cotangent seed) adds.
+    t_plus_dot = (gm [n_pad, C], wT [f, f]) is the LAZY form of t_plus:
+    the kernel computes the seed c = gm @ wT on first visits, so the
+    standalone XLA dot (one gm read + one c write through HBM per order)
+    disappears. Requires a square mix with f dividing the column panel;
+    anything else (and the pre-split bf16x3 HIGH kernels) falls back to
+    computing the seed eagerly here — identical math either way."""
     from .cheb import resolve_precision
 
     precision = resolve_precision(precision)
@@ -285,9 +345,23 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     panels = c // panel
     nb = bsr.num_blocks
     high = precision == jax.lax.Precision.HIGH
+    if t_plus_dot is not None:
+        assert t_plus is None
+        f = t_plus_dot[1].shape[0]
+        assert c % f == 0, (c, f)  # caller passes square mixes only
+        if high or _COL_PANEL % f != 0:
+            # eager fallback: the same cotangent dot the caller would run
+            gm2, wt = t_plus_dot
+            t_plus = jax.lax.dot_general(
+                gm2.reshape(n_pad, c // f, f), wt, (((2,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            ).astype(gm2.dtype).reshape(n_pad, c)
+            t_plus_dot = None
     has_m = t_prev is not None
     has_p = t_plus is not None
-    n_seeds = int(has_m) + int(has_p)
+    has_pd = t_plus_dot is not None
+    n_seeds = int(has_m) + int(has_p) + int(has_pd)
     # bf16-state mode: bf16 operator blocks (compute_dtype=bfloat16) emit a
     # bf16 result, so the recurrence state / t_prev / mix inputs all stream
     # at half width and the per-order downcast disappears (accumulation
@@ -313,6 +387,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
                                                or FORCE_COLMAJOR):
             return _colmajor_matmul(bsr, x2d, precision, high, cpanel,
                                     t_prev=t_prev, t_plus=t_plus,
+                                    t_plus_dot=t_plus_dot,
                                     alpha=alpha, out_dtype=out_dtype)
 
     block_spec = lambda: pl.BlockSpec((1, BLOCK, BLOCK),
@@ -334,7 +409,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         in_specs = [block_spec(), block_spec(), x_spec(), x_spec()]
         flops = 3 * 2 * nb * BLOCK * BLOCK * c
     else:
-        kernel = _make_spmm_kernel(precision, alpha, has_m, has_p)
+        kernel = _make_spmm_kernel(precision, alpha, has_m, has_p, has_pd)
         operands = [bsr.blocks, x2d]
         in_specs = [block_spec(), x_spec()]
         flops = 2 * nb * BLOCK * BLOCK * c
@@ -342,6 +417,15 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         if seed is not None:
             operands.append(seed)
             in_specs.append(out_like_spec())
+    if has_pd:
+        gm2, wt = t_plus_dot
+        f = wt.shape[0]
+        operands.extend([gm2, wt])
+        in_specs.extend([
+            out_like_spec(),
+            pl.BlockSpec((f, f), lambda j, b, br, bc, fr: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -353,7 +437,9 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     )
     bytes_accessed = (nb * BLOCK * BLOCK * bsr.blocks.dtype.itemsize
                       + n_pad * c * (x2d.dtype.itemsize
-                                     + jnp.dtype(out_dtype).itemsize))
+                                     + jnp.dtype(out_dtype).itemsize)
+                      + (n_pad * c * t_plus_dot[0].dtype.itemsize
+                         if has_pd else 0))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -445,11 +531,11 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
     f_out = w2.shape[-1]
     c = b * f_pad
 
-    def _mm(a, alpha, p_plus, p_minus):
+    def _mm(a, alpha, p_plus, p_minus, p_plus_dot=None):
         r = lambda t: None if t is None else t.reshape(n_pad, c)
         return _bsr_matmul_impl(
             bsr, a.astype(op_dtype).reshape(n_pad, c), prec,
-            t_prev=r(p_minus), t_plus=r(p_plus),
+            t_prev=r(p_minus), t_plus=r(p_plus), t_plus_dot=p_plus_dot,
             alpha=alpha).reshape(n_pad, b, f_pad)
 
     def _forward(xt, w2):
@@ -490,16 +576,28 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
         ).reshape(k, f_pad, f_out).astype(w2.dtype)
         if not input_grad:
             return jnp.zeros((n_pad, b, f_pad), txcat.dtype), dw
-        # per-order cotangents as K narrow dots — each output lands
-        # contiguous (a single wide g @ W^T would need a strided
-        # slice+copy per order to feed the kernel seeds)
-        cs = [jax.lax.dot_general(
+        c_of = lambda j: jax.lax.dot_general(
             gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32).astype(state_dtype)
-            for j in range(k)]
         if k == 1:
-            dx = cs[0]
+            dx = c_of(0)
+        elif FUSED_SEED_DOT and f_pad == f_out:
+            # square mix: the per-order cotangents c_j = gm @ W_jᵀ fold
+            # into the kernel's first-visit seed (t_plus_dot) — only
+            # c_{k-1} materializes, as the adjoint recurrence's initial
+            # gathered operand. Non-square mixes (and HIGH's pre-split
+            # kernels) take the standalone-dot branch below.
+            gm2 = gm.reshape(n_pad, c)
+            wt = jnp.swapaxes(w2, 1, 2)  # [k, f_out, f_pad]
+            u, prev_u = c_of(k - 1), None
+            for j in range(k - 1, 1, -1):
+                u, prev_u = _mm(u, 2.0, None, prev_u,
+                                p_plus_dot=(gm2, wt[j - 1])), u
+            dx = _mm(u, 1.0, None, prev_u, p_plus_dot=(gm2, wt[0]))
         else:
+            # per-order cotangents as K narrow dots — each output lands
+            # contiguous, directly feeding the kernel seed specs
+            cs = [c_of(j) for j in range(k)]
             u, prev_u = cs[k - 1], None
             for j in range(k - 1, 1, -1):
                 u, prev_u = _mm(u, 2.0, cs[j - 1], prev_u), u

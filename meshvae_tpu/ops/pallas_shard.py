@@ -108,12 +108,15 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
 
 
 def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
-                    alpha: float, fuse_prev: bool, fuse_plus: bool = False):
+                    alpha: float, fuse_prev: bool, fuse_plus: bool = False,
+                    fuse_plus_dot: bool = False):
     """shard_map'd y = alpha * (L @ x) [+ t_plus] [- t_prev]: activations
     all-gather over "sp", the local (rectangular) kernel computes this
     shard's rows. The seed operands (t_prev: the forward recurrence's
     -T_{k-2}; t_plus: the backward recurrence's +c_{j-1}) are already
-    row-sharded like the output, so they stay local."""
+    row-sharded like the output, so they stay local. fuse_plus_dot takes
+    (gm row-sharded like the output, wT replicated) and computes the
+    cotangent seed INSIDE the local kernel (pallas_cheb t_plus_dot)."""
     from .pallas_cheb import _bsr_matmul_impl
 
     rows_local = sbsr.rows_per_shard
@@ -132,11 +135,14 @@ def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
         x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
         tprev = seeds[0] if fuse_prev else None
         tplus = seeds[1 if fuse_prev else 0] if fuse_plus else None
+        tpd = (seeds[n_seeds], seeds[n_seeds + 1]) if fuse_plus_dot else None
         return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
                                 x_full, precision, t_prev=tprev,
-                                t_plus=tplus, alpha=alpha)
+                                t_plus=tplus, t_plus_dot=tpd, alpha=alpha)
 
     in_specs = op_specs + (P("sp", "dp"),) * (1 + n_seeds)
+    if fuse_plus_dot:
+        in_specs = in_specs + (P("sp", "dp"), P(None, None))
     return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                          out_specs=P("sp", "dp"), check_vma=False)
 
@@ -208,13 +214,17 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
     prods = {}
     args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
 
-    def _mm(a, alpha, p_plus, p_minus):
+    def _mm(a, alpha, p_plus, p_minus, p_plus_dot=None):
         r = lambda t: t.reshape(n_pad, c)
-        key = (alpha, p_minus is not None, p_plus is not None)
+        key = (alpha, p_minus is not None, p_plus is not None,
+               p_plus_dot is not None)
         if key not in prods:
             prods[key] = _mapped_product(sbsr, mesh, prec, alpha, key[1],
-                                         fuse_plus=key[2])
+                                         fuse_plus=key[2],
+                                         fuse_plus_dot=key[3])
         seeds = [r(s) for s in (p_minus, p_plus) if s is not None]
+        if p_plus_dot is not None:
+            seeds.extend(p_plus_dot)
         return prods[key](*args, a.astype(op_dtype).reshape(n_pad, c),
                           *seeds).reshape(n_pad, b, f_pad)
 
@@ -253,13 +263,26 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
             # see pallas_cheb._basis_mix: dead-dx chains inside a
             # custom_vjp are invisible to JAX pruning and XLA DCE
             return jnp.zeros((n_pad, b, f_pad), txcat.dtype), dw
-        cs = [jax.lax.dot_general(
+        from .pallas_cheb import FUSED_SEED_DOT
+
+        c_of = lambda j: jax.lax.dot_general(
             gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32).astype(state_dtype)
-            for j in range(k)]
         if k == 1:
-            dx = cs[0]
+            dx = c_of(0)
+        elif FUSED_SEED_DOT and f_pad == f_out:
+            # square mix: cotangent seeds fold into the local kernel
+            # (see pallas_cheb._basis_mix); gm is row-sharded like the
+            # output, wT replicated
+            gm2 = gm.reshape(n_pad, c)
+            wt = jnp.swapaxes(w2, 1, 2)
+            u, prev_u = c_of(k - 1), None
+            for j in range(k - 1, 1, -1):
+                u, prev_u = _mm(u, 2.0, None, prev_u,
+                                p_plus_dot=(gm2, wt[j - 1])), u
+            dx = _mm(u, 1.0, None, prev_u, p_plus_dot=(gm2, wt[0]))
         else:
+            cs = [c_of(j) for j in range(k)]
             u, prev_u = cs[k - 1], None
             for j in range(k - 1, 1, -1):
                 u, prev_u = _mm(u, 2.0, cs[j - 1], prev_u), u

@@ -167,6 +167,51 @@ class TestShardedBsr:
                                    atol=1e-5)
 
 
+    def test_fused_seed_dot_sharded_square_mix(self):
+        """The sharded backward's fused cotangent seed (_basis_mix_sharded
+        p_plus_dot: gm row-sharded, wT replicated into the local kernel)
+        must match the standalone-dot form. b=32, f=16 on a dp4 x sp2 mesh
+        keeps f_pad == 16 == f_out — genuinely square, so the fused branch
+        (not the eager fallback) executes."""
+        import types
+
+        import meshvae_tpu.ops.pallas_cheb as pc
+        from meshvae_tpu.ops.pallas_shard import (cheb_conv_pallas_sharded,
+                                                  shard_block_sparse)
+        from meshvae_tpu.parallel.sharding import make_device_mesh
+
+        mesh_g = make_grid_mesh(23, jitter=0.05)
+        lap = normalized_neg_adjacency(
+            vertex_adjacency(mesh_g.num_vertices, mesh_g.f))
+        sbsr = shard_block_sparse(to_block_sparse(lap), 2)
+        dmesh = make_device_mesh(dp=4, sp=2)
+        op = types.SimpleNamespace(bsr_sp=sbsr, mesh=dmesh)
+
+        rng = np.random.default_rng(41)
+        K, b, f, n = 3, 32, 16, mesh_g.num_vertices
+        x = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((K, f, f)), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.standard_normal(f), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+
+        def loss(x_, w_, b_):
+            o = cheb_conv_pallas_sharded(
+                x_, op, w_, b_, precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum((o - tgt) ** 2)
+
+        old = pc.FUSED_SEED_DOT
+        try:
+            pc.FUSED_SEED_DOT = True
+            gf = jax.grad(loss, argnums=(0, 1, 2))(x, w, bias)
+            pc.FUSED_SEED_DOT = False
+            gs = jax.grad(loss, argnums=(0, 1, 2))(x, w, bias)
+        finally:
+            pc.FUSED_SEED_DOT = old
+        for a, c, name in zip(gf, gs, ("dx", "dw", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-6,
+                err_msg=f"sharded fused-vs-standalone {name}")
+
     def test_bf16_blocks_survive_sharding(self):
         """The bf16 half-width streaming mode must survive repartitioning:
         shard_block_sparse preserves the block dtype and the sharded conv
@@ -286,6 +331,56 @@ class TestChebConvPallas:
         finally:
             pc.FUSED_BWD = old
             pc.COLMAJOR_VMEM_BUDGET = old_budget
+
+    @pytest.mark.parametrize("colmajor", [True, False])
+    def test_fused_seed_dot_square_mix(self, big_graph, colmajor):
+        """Square mixes (f_pad == f_out) fold the per-order mix cotangents
+        c_j = gm @ W_jᵀ into the kernel's first-visit seed (t_plus_dot).
+        The fused form must match both the standalone-dot form and dense
+        autodiff; non-square shapes in the other tests cover the eager
+        fallback. b=8, f_in=16 gives f_pad=16=f_out — genuinely square."""
+        mesh, adj = big_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(31)
+        old_budget = pc.COLMAJOR_VMEM_BUDGET
+        old_flag = pc.FUSED_SEED_DOT
+        if not colmajor:
+            pc.COLMAJOR_VMEM_BUDGET = 0
+        try:
+            for K in (2, 3, 6):
+                b, f = 8, 16
+                x = jnp.asarray(rng.standard_normal((b, op.n, f)),
+                                jnp.float32)
+                w = jnp.asarray(0.1 * rng.standard_normal((K, f, f)),
+                                jnp.float32)
+                bias = jnp.asarray(0.1 * rng.standard_normal(f), jnp.float32)
+                tgt = jnp.asarray(rng.standard_normal((b, op.n, f)),
+                                  jnp.float32)
+
+                def loss(x_, w_, b_, method):
+                    o = cheb_conv(x_, op, w_, b_, method=method,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    return jnp.sum((o - tgt) ** 2)
+
+                pc.FUSED_SEED_DOT = True
+                gf = jax.grad(lambda *a: loss(*a, "pallas"),
+                              argnums=(0, 1, 2))(x, w, bias)
+                pc.FUSED_SEED_DOT = False
+                gs = jax.grad(lambda *a: loss(*a, "pallas"),
+                              argnums=(0, 1, 2))(x, w, bias)
+                gd = jax.grad(lambda *a: loss(*a, "dense"),
+                              argnums=(0, 1, 2))(x, w, bias)
+                for a, c, name in zip(gf, gs, ("dx", "dw", "dbias")):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-6,
+                        err_msg=f"K={K} fused-vs-standalone {name}")
+                for a, c, name in zip(gd, gf, ("dx", "dw", "dbias")):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4,
+                        err_msg=f"K={K} fused-vs-dense {name}")
+        finally:
+            pc.COLMAJOR_VMEM_BUDGET = old_budget
+            pc.FUSED_SEED_DOT = old_flag
 
     def test_input_grad_false_keeps_param_grads(self, big_graph):
         """input_grad=False must leave dw/dbias bit-identical to the full
