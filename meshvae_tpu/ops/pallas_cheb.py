@@ -42,6 +42,13 @@ COLMAJOR_VMEM_BUDGET = int(__import__("os").environ.get(
 FORCE_COLMAJOR = bool(int(__import__("os").environ.get(
     "MESHVAE_COLMAJOR_FORCE", "0")))
 
+# Widest column panel the kernels will use. The L blocks are re-streamed
+# once per panel, so a wider panel cuts operator traffic proportionally;
+# the cost is a bigger (double-buffered) x/out tile in VMEM. 1024 lanes
+# is the long-standing default; MESHVAE_MAX_PANEL=2048 fuses the
+# flagship's two bs128 panels into one (A/B knob).
+MAX_PANEL = int(__import__("os").environ.get("MESHVAE_MAX_PANEL", "1024"))
+
 # Set True to run the kernel in the Pallas interpreter (CPU tests / debug);
 # MESHVAE_PALLAS_INTERPRET=1 sets it from the environment so the CLIs can
 # drive the pallas path end-to-end on the CPU backend.
@@ -340,7 +347,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     # widest panel (<= 1024 lanes) dividing C: the L blocks are re-streamed
     # once per panel, so wide panels cut operator traffic proportionally
     panel = _COL_PANEL
-    while panel * 2 <= min(c, 1024) and c % (panel * 2) == 0:
+    while panel * 2 <= min(c, MAX_PANEL) and c % (panel * 2) == 0:
         panel *= 2
     panels = c // panel
     nb = bsr.num_blocks
@@ -376,7 +383,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
         budget = COLMAJOR_VMEM_BUDGET // (1 + n_seeds)
         osz = jnp.dtype(out_dtype).itemsize
         cpanel = _COL_PANEL
-        while (cpanel * 2 <= min(c, 1024) and c % (cpanel * 2) == 0
+        while (cpanel * 2 <= min(c, MAX_PANEL) and c % (cpanel * 2) == 0
                and n_pad * cpanel * 2 * osz <= budget):
             cpanel *= 2
         # col-major wins only when the budget doesn't force a NARROWER
