@@ -77,9 +77,11 @@ FUSED_BWD = bool(int(__import__("os").environ.get(
 # instead of a standalone XLA dot — eliminating, per order, one full
 # read of gm and one write of c_j through HBM. Only square mixes
 # (f_pad == f_out, f dividing the 128-column panel) fuse; others keep
-# the standalone dot. MESHVAE_FUSED_SEED_DOT=0 disables for A/B.
+# the standalone dot. Default OFF until the in-kernel reshape's Mosaic
+# lowering is proven on hardware (interpret-mode tests don't validate
+# it); MESHVAE_FUSED_SEED_DOT=1 enables for A/B.
 FUSED_SEED_DOT = bool(int(__import__("os").environ.get(
-    "MESHVAE_FUSED_SEED_DOT", "1")))
+    "MESHVAE_FUSED_SEED_DOT", "0")))
 
 
 def _seed_with(contrib, tprev_ref, tplus_ref):
