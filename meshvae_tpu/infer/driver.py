@@ -62,10 +62,15 @@ class InferenceEngine:
         hy = jnp.concatenate([y, h], axis=-1)
         mu = model.apply(params, hy,
                          method=lambda m, v: m.z_mean(v))
-        recon = model.apply(params, y, mu, ops, method=type(model).sample)
-        oppo = 1.0 - y
-        recon_oppo = model.apply(params, oppo, mu, ops,
-                                 method=type(model).sample)
+        # predicted-label + sex-swap decodes as ONE decoder pass at 2B
+        # batch (same trick as models/joint.py): halves decoder dispatches
+        # AND the per-call operator streams — each decoder SpMM reads the
+        # blocks once for 2B columns instead of once per B-column pass
+        b = x.shape[0]
+        y2 = jnp.concatenate([y, 1.0 - y], axis=0)
+        mu2 = jnp.concatenate([mu, mu], axis=0)
+        both = model.apply(params, y2, mu2, ops, method=type(model).sample)
+        recon, recon_oppo = both[:b], both[b:]
 
         def to_orig(t):
             return apply_inverse_similarity(t * norm_std + norm_mean,
