@@ -48,9 +48,14 @@ def estimate_diff(vae: MeshVAE, vae_params, x, labels, ops, train: bool):
     onehot = jax.nn.one_hot(cond, y_hat.shape[-1], dtype=x.dtype)
     hy = jnp.concatenate([onehot, h], axis=-1)
     mu = vae.apply(vae_params, hy, method=lambda m, v: m.z_mean(v))
-    recon = vae.apply(vae_params, onehot, mu, ops, method=type(vae).sample)
-    recon_oppo = vae.apply(vae_params, 1.0 - onehot, mu, ops,
-                           method=type(vae).sample)
+    # same-label + opposite-label decodes as ONE 2B decoder pass (the
+    # models/joint.py trick): half the dispatches, and each decoder SpMM
+    # streams its operator once for 2B columns
+    b = x.shape[0]
+    y2 = jnp.concatenate([onehot, 1.0 - onehot], axis=0)
+    mu2 = jnp.concatenate([mu, mu], axis=0)
+    both = vae.apply(vae_params, y2, mu2, ops, method=type(vae).sample)
+    recon, recon_oppo = both[:b], both[b:]
     diff = jnp.concatenate([x - recon_oppo, x - recon], axis=-1)
     return jax.lax.stop_gradient(diff), correct, pred
 
