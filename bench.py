@@ -372,12 +372,23 @@ def try_pallas_subprocess(args, polygon_order, mode="train"):
         # keep measurement modes comparable: a scan-epoch dense run must
         # race (and loss-check against) a scan-epoch pallas run
         cmd.append("--scan")
+    # the parent's preflight already vetted the backend; the child must
+    # not re-probe (its probe subprocess can fail on single-tenant
+    # contention and silently downgrade the pallas leg to CPU)
+    cmd.append("--skip-preflight")
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=args.pallas_timeout)
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
                 record = json.loads(line)
+                if record.get("platform") == "cpu_fallback":
+                    # a fallback number must never masquerade as the
+                    # pallas chip result (parity tensors would also be
+                    # cross-backend)
+                    print("pallas subprocess fell back to CPU; discarding",
+                          file=sys.stderr)
+                    return None, None
                 return float(record["value"]), record.get("loss")
             except (json.JSONDecodeError, KeyError, TypeError):
                 continue
@@ -516,6 +527,11 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke runs; the env "
                              "var alone is ignored on this image)")
+    parser.add_argument("--skip-preflight", action="store_true",
+                        help="internal: auto mode's pallas subprocess runs "
+                             "with this (the parent already vetted the "
+                             "backend; a child probe can fail on single-"
+                             "tenant contention)")
     parser.add_argument("--emit-parity", default="",
                         help="write this process's on-chip eval recon + "
                              "grad-norm to the given .npz (used by auto "
@@ -526,7 +542,7 @@ def main():
                              "template with K=10 (BASELINE.json config 5)")
     args = parser.parse_args()
     global PLATFORM_NOTE
-    if not args.cpu and not backend_preflight():
+    if not args.cpu and not args.skip_preflight and not backend_preflight():
         # dead tunnel: a clearly-labeled CPU number beats a hung/failed
         # bench run (the driver records whatever JSON line is printed)
         print("TPU backend unavailable after retries — falling back to "
@@ -534,8 +550,10 @@ def main():
               file=sys.stderr)
         args.cpu = True
         PLATFORM_NOTE = "cpu_fallback"
-        if args.method == "auto":
-            args.method = "dense"  # interpret-mode pallas is pointless here
+        if args.method in ("auto", "pallas"):
+            # interpret-mode pallas is uselessly slow and non-interpret
+            # Mosaic kernels cannot lower on the CPU backend
+            args.method = "dense"
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax

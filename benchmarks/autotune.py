@@ -130,6 +130,9 @@ def main():
 
     saved = (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT)
     combos = []
+    fwd_cache = {}  # FUSED_SEED_DOT is backward-only: fwd depends on
+    #                 (panel, budget) alone — don't pay a ~10 min remote
+    #                 compile re-timing an identical forward per sd value
     try:
         for panel, budget, sd in itertools.product(panels, budgets,
                                                    seed_dots):
@@ -139,11 +142,16 @@ def main():
             row = {"max_panel": panel, "colmajor_budget": budget,
                    "fused_seed_dot": sd}
             for cmp in want:
+                if cmp == "fwd" and (panel, budget) in fwd_cache:
+                    row["fwd_ms"] = fwd_cache[(panel, budget)]
+                    continue
                 try:
                     row[f"{cmp}_ms"] = timed(scans[cmp], x, w)
                 except Exception as exc:  # compile failures are data too
                     row[f"{cmp}_ms"] = None
                     row[f"{cmp}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                if cmp == "fwd":
+                    fwd_cache[(panel, budget)] = row["fwd_ms"]
             print(f"  {row}", file=sys.stderr)
             combos.append(row)
     finally:

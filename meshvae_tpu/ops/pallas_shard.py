@@ -268,12 +268,17 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
         c_of = lambda j: jax.lax.dot_general(
             gm, w2[j], (((2,), (1,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32).astype(state_dtype)
+        dp = mesh.shape["dp"]
         if k == 1:
             dx = c_of(0)
-        elif FUSED_SEED_DOT and f_pad == f_out:
+        elif (FUSED_SEED_DOT and f_pad == f_out
+              and (c // dp) % f_pad == 0):
             # square mix: cotangent seeds fold into the local kernel
             # (see pallas_cheb._basis_mix); gm is row-sharded like the
-            # output, wT replicated
+            # output, wT replicated. The per-shard column chunk c/dp must
+            # itself group into whole (batch item, f) pairs — the global
+            # c = b*f divisibility does not imply the local one when
+            # dp does not divide b
             gm2 = gm.reshape(n_pad, c)
             wt = jnp.swapaxes(w2, 1, 2)
             u, prev_u = c_of(k - 1), None
