@@ -11,8 +11,6 @@ same kernel applied to the cotangent.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
