@@ -1,15 +1,23 @@
 """Kernel-knob autotuner: sweep the Pallas SpMM tuning knobs on the
 CURRENT hardware and report the fastest settings for a workload.
 
-The block-sparse Chebyshev kernel has three performance knobs whose best
+The block-sparse Chebyshev kernel has these performance knobs whose best
 values are hardware- and shape-dependent (see docs/architecture.md):
 
-  MAX_PANEL              widest column panel (operator blocks re-stream
-                         once per panel; wider = less operator traffic,
-                         bigger double-buffered VMEM tiles)
+  GROUPED                row-grouped kernel (one step per output row-block)
+                         vs the per-block kernels
+  GROUP_MAX_PANEL        the grouped kernel's widest column panel
+  MAX_PANEL              per-block kernels: widest column panel (operator
+                         blocks re-stream once per panel)
   COLMAJOR_VMEM_BUDGET   VMEM allowance for the col-major resident output
                          panel; 0 forces the row-major orientation
   FUSED_SEED_DOT         in-kernel mix-cotangent seed (backward only)
+
+Timing discipline (CLAUDE.md gotcha 9): iterations CHAIN through the
+timed tensor (a loop-invariant body gets hoisted by XLA and measures
+nothing), and every knob combo times a FRESH function object (jax.jit
+caches on function identity — reusing one closure across combos reuses
+the first combo's executable).
 
 This tool times the real hot op — a full level-0 ChebConv forward and
 forward+backward, scanned on device exactly like benchmarks/step_anatomy
@@ -52,6 +60,9 @@ def main():
     ap.add_argument("--panels", default="512,1024,2048")
     ap.add_argument("--budgets", default="0," + str(6 * 1024 * 1024))
     ap.add_argument("--seed-dots", default="1")
+    ap.add_argument("--grouped", default="1",
+                    help="comma list of 1/0: sweep the grouped kernel "
+                         "(panels then drive GROUP_MAX_PANEL)")
     ap.add_argument("--components", default="fwd,grad",
                     help="comma list of fwd,grad")
     ap.add_argument("--cpu", action="store_true",
@@ -102,60 +113,72 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / S * 1e3
 
-    def conv_loss(xx, ww):
-        out = cheb_conv(xx, op0, ww, None, method="pallas", precision=prec)
-        return jnp.sum(out.astype(jnp.float32))
+    def make_fwd_scan(tag):
+        def fwd_scan(xx, ww):
+            def step(t, _):
+                out = cheb_conv(t, op0, ww, None, method="pallas",
+                                precision=prec)
+                return t + out * 1e-6, None
+            tN, _ = jax.lax.scan(step, xx, jnp.arange(S))
+            return jnp.sum(tN.astype(jnp.float32))
+        fwd_scan.__name__ = f"fwd_scan_{tag}"
+        return fwd_scan
 
-    def fwd_scan(xx, ww):
-        def step(acc, _):
-            return acc + conv_loss(xx, ww), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-        return acc
+    def make_grad_scan(tag):
+        def grad_scan(xx, ww):
+            def loss(w_, t):
+                out = cheb_conv(t, op0, w_, None, method="pallas",
+                                precision=prec)
+                return jnp.sum(jnp.square(out.astype(jnp.float32)))
 
-    def grad_scan(xx, ww):
-        def step(acc, _):
-            l, (gx, gw) = jax.value_and_grad(conv_loss, argnums=(0, 1))(
-                xx, ww)
-            return acc + l + 1e-12 * (
-                jnp.sum(gx.astype(jnp.float32) ** 2)
-                + jnp.sum(gw.astype(jnp.float32) ** 2)), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-        return acc
+            def step(w_, _):
+                l, gw = jax.value_and_grad(loss)(w_, xx)
+                return w_ + gw.astype(w_.dtype) * 1e-9, None
+            wN, _ = jax.lax.scan(step, ww, jnp.arange(S))
+            return jnp.sum(wN.astype(jnp.float32))
+        grad_scan.__name__ = f"grad_scan_{tag}"
+        return grad_scan
 
-    scans = {"fwd": fwd_scan, "grad": grad_scan}
+    scans = {"fwd": make_fwd_scan, "grad": make_grad_scan}
     want = [cmp for cmp in args.components.split(",") if cmp in scans]
     panels = [int(v) for v in args.panels.split(",")]
     budgets = [int(v) for v in args.budgets.split(",")]
     seed_dots = [bool(int(v)) for v in args.seed_dots.split(",")]
+    groupeds = [bool(int(v)) for v in args.grouped.split(",")]
 
-    saved = (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT)
+    saved = (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT,
+             pc.GROUPED, pc.GROUP_MAX_PANEL)
     combos = []
     fwd_cache = {}  # FUSED_SEED_DOT is backward-only: fwd depends on
-    #                 (panel, budget) alone — don't pay a ~10 min remote
-    #                 compile re-timing an identical forward per sd value
+    #                 (grouped, panel, budget) alone — don't pay a ~10 min
+    #                 remote compile re-timing an identical forward per sd
     try:
-        for panel, budget, sd in itertools.product(panels, budgets,
-                                                   seed_dots):
+        for grouped, panel, budget, sd in itertools.product(
+                groupeds, panels, budgets, seed_dots):
+            pc.GROUPED = grouped
+            pc.GROUP_MAX_PANEL = panel
             pc.MAX_PANEL = panel
             pc.COLMAJOR_VMEM_BUDGET = budget
             pc.FUSED_SEED_DOT = sd
-            row = {"max_panel": panel, "colmajor_budget": budget,
-                   "fused_seed_dot": sd}
+            row = {"grouped": grouped, "max_panel": panel,
+                   "colmajor_budget": budget, "fused_seed_dot": sd}
+            tag = f"g{int(grouped)}_p{panel}_b{budget}_sd{int(sd)}"
             for cmp in want:
-                if cmp == "fwd" and (panel, budget) in fwd_cache:
-                    row["fwd_ms"] = fwd_cache[(panel, budget)]
+                if cmp == "fwd" and (grouped, panel, budget) in fwd_cache:
+                    row["fwd_ms"] = fwd_cache[(grouped, panel, budget)]
                     continue
                 try:
-                    row[f"{cmp}_ms"] = timed(scans[cmp], x, w)
+                    row[f"{cmp}_ms"] = timed(scans[cmp](tag), x, w)
                 except Exception as exc:  # compile failures are data too
                     row[f"{cmp}_ms"] = None
                     row[f"{cmp}_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 if cmp == "fwd":
-                    fwd_cache[(panel, budget)] = row["fwd_ms"]
+                    fwd_cache[(grouped, panel, budget)] = row["fwd_ms"]
             print(f"  {row}", file=sys.stderr)
             combos.append(row)
     finally:
-        pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT = saved
+        (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT,
+         pc.GROUPED, pc.GROUP_MAX_PANEL) = saved
 
     report = {
         "workload": {"n0": n0, "batch_size": b, "k": k, "features": f,

@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 BLOCK = 128
 
+# widest row group materialized for the grouped kernel (a mesh Laplacian
+# row-block rarely touches more than 4-5 column blocks; a row wider than
+# this suggests a non-banded operator where the per-block kernels with
+# their accumulate path are the right tool)
+MAX_GROUP = 8
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +53,18 @@ class BlockSparseOperator:
     col_order: jnp.ndarray | None = None      # [nb] int32 into blocks
     block_row_c: jnp.ndarray | None = None    # [nb] int32 (col-sorted)
     block_col_c: jnp.ndarray | None = None    # [nb] int32 (col-sorted)
+    # row-GROUPED view (the default kernel since round 3): one grid step
+    # per output row-block computes all its G block-dots and writes once —
+    # no accumulate read-modify-write, no first-flags. g_idx[r, i] indexes
+    # into `blocks` (== num_blocks selects an appended zero block for rows
+    # with fewer than G real blocks); g_bcol[r, i] is the slab column, with
+    # padded slots aliasing the row's last real column so they add no DMA.
+    # The padded [nR, G, BLOCK, BLOCK] operand is gathered at trace time
+    # (CSE'd per program) — `blocks` stays the only shipped storage.
+    g_idx: jnp.ndarray | None = None          # [nR, G] int32 into blocks
+    g_bcol: jnp.ndarray | None = None         # [nR * G] int32
+    g_width: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
 
     def __post_init__(self):
         if self.n_pad_cols < 0:
@@ -102,6 +120,27 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
         first[1:] = (block_row[1:] != block_row[:-1]).astype(np.int32)
 
     col_order = np.lexsort((block_row, block_col)).astype(np.int32)
+
+    # row-grouped view: G = max blocks per row (capped — pathological rows
+    # fall back to the per-block kernels); padded slots point at a zero
+    # block appended at trace time and alias the row's last real column
+    nb = len(block_row)
+    n_rows = n_pad // block
+    per_row = [[] for _ in range(n_rows)]
+    for i in range(nb):
+        per_row[int(block_row[i])].append(i)
+    g = max((len(v) for v in per_row), default=1)
+    g_idx = g_bcol = None
+    if 1 <= g <= MAX_GROUP:
+        g_idx = np.full((n_rows, g), nb, np.int32)
+        g_bcol = np.zeros((n_rows, g), np.int32)
+        for r, idxs in enumerate(per_row):
+            for i, bi in enumerate(idxs):
+                g_idx[r, i] = bi
+                g_bcol[r, i] = block_col[bi]
+            if idxs:
+                g_bcol[r, len(idxs):] = block_col[idxs[-1]]
+
     return BlockSparseOperator(
         blocks=jnp.asarray(blocks, dtype=dtype),
         block_row=jnp.asarray(block_row),
@@ -112,6 +151,9 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
         col_order=jnp.asarray(col_order),
         block_row_c=jnp.asarray(block_row[col_order]),
         block_col_c=jnp.asarray(block_col[col_order]),
+        g_idx=None if g_idx is None else jnp.asarray(g_idx),
+        g_bcol=None if g_bcol is None else jnp.asarray(g_bcol.reshape(-1)),
+        g_width=0 if g_idx is None else g,
     )
 
 

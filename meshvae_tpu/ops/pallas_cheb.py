@@ -322,6 +322,166 @@ def _make_spmm_kernel_bf16x3(alpha, has_m, has_p):
     return _kernel
 
 
+# Row-grouped kernel (default since round 3): ONE grid step per output
+# row-block computes all its G block-dots and writes once — the per-block
+# kernels' accumulate read-modify-write and first-flag machinery is the
+# measured per-grid-step bottleneck (apply_ms ~ steps x ~0.45us, see
+# benchmarks/pass_probe.py), not HBM bytes or MXU passes. Same-session
+# A/B on the 5k level-0 apply: 0.112 -> 0.067 ms (-40%).
+# MESHVAE_GROUPED=0 restores the per-block kernels.
+GROUPED = bool(int(__import__("os").environ.get("MESHVAE_GROUPED", "1")))
+
+# The grouped kernel's panel: fewer, fatter steps win until slab DMA
+# dominates — 2048 measured best at the flagship (vs 1024 for the
+# per-block kernels). Swept per-workload by benchmarks/autotune.py.
+GROUP_MAX_PANEL = int(__import__("os").environ.get(
+    "MESHVAE_GROUP_MAX_PANEL", "2048"))
+
+# per-step VMEM allowance for the grouped kernel's (double-buffered)
+# slabs + blocks + out + seeds; panels shrink until they fit
+GROUP_VMEM_BUDGET = int(__import__("os").environ.get(
+    "MESHVAE_GROUP_BUDGET", str(12 * 1024 * 1024)))
+
+
+def _make_grouped_kernel(g, precision, alpha, has_m, has_p, has_pd):
+    def _kernel(gcol_ref, l_ref, *rest):
+        xs, rest = rest[:g], rest[g:]
+        tprev, tplus, pd, o_ref = _split_seeds(rest, has_m, has_p, has_pd)
+        contrib = jnp.dot(l_ref[0, 0], xs[0][:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+        for i in range(1, g):
+            contrib += jnp.dot(l_ref[0, i], xs[i][:],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+        seed = _seed_with(alpha * contrib, tprev, tplus)
+        plus_fn = _seed_dot_fn(pd, precision)
+        if plus_fn is not None:
+            seed = seed + plus_fn()
+        o_ref[:] = seed.astype(o_ref.dtype)
+
+    return _kernel
+
+
+def _make_grouped_kernel_bf16x3(g, alpha, has_m, has_p):
+    def _kernel(gcol_ref, lh_ref, ll_ref, *rest):
+        xhs, rest = rest[:g], rest[g:]
+        xls, rest = rest[:g], rest[g:]
+        tprev, tplus, _, o_ref = _split_seeds(rest, has_m, has_p)
+        dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+        contrib = (dot(lh_ref[0, 0], xhs[0][:])
+                   + (dot(lh_ref[0, 0], xls[0][:])
+                      + dot(ll_ref[0, 0], xhs[0][:])))
+        for i in range(1, g):
+            contrib += (dot(lh_ref[0, i], xhs[i][:])
+                        + (dot(lh_ref[0, i], xls[i][:])
+                           + dot(ll_ref[0, i], xhs[i][:])))
+        o_ref[:] = _seed_with(alpha * contrib, tprev, tplus).astype(
+            o_ref.dtype)
+
+    return _kernel
+
+
+def _gather_grouped(blocks, g_idx):
+    """[nR, G, B, B] padded operand from the canonical block storage —
+    a trace-time gather (CSE'd per program; index num_blocks selects the
+    appended zero block), so `blocks` stays the only shipped storage."""
+    zero = jnp.zeros((1, BLOCK, BLOCK), blocks.dtype)
+    return jnp.concatenate([blocks, zero])[g_idx]
+
+
+def _grouped_matmul(bsr: BlockSparseOperator, x2d, precision, high,
+                    t_prev=None, t_plus=None, t_plus_dot=None,
+                    alpha=1.0, out_dtype=jnp.float32):
+    rows_x, c = x2d.shape
+    n_pad = bsr.n_pad
+    g = bsr.g_width
+    n_rows = n_pad // BLOCK
+    has_m = t_prev is not None
+    has_p = t_plus is not None
+    has_pd = t_plus_dot is not None
+    xb = 2 if high else x2d.dtype.itemsize
+    ob = jnp.dtype(out_dtype).itemsize
+    n_x = g * (2 if high else 1)
+    # widest panel under the VMEM budget: double-buffered slabs dominate
+    panel = _COL_PANEL
+    while (panel * 2 <= min(c, GROUP_MAX_PANEL) and c % (panel * 2) == 0
+           and BLOCK * panel * 2 * (2 * n_x * xb + 2 * ob
+                                    + 2 * (has_m + has_p + has_pd))
+           <= GROUP_VMEM_BUDGET):
+        panel *= 2
+
+    def xspec(i, arr_idx_hint=None):
+        return pl.BlockSpec((BLOCK, panel),
+                            lambda j, b, gc, i=i: (gc[b * g + i], j),
+                            memory_space=pltpu.VMEM)
+
+    l_spec = lambda: pl.BlockSpec((1, g, BLOCK, BLOCK),
+                                  lambda j, b, gc: (b, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    seed_spec = lambda: pl.BlockSpec((BLOCK, panel),
+                                     lambda j, b, gc: (b, j),
+                                     memory_space=pltpu.VMEM)
+    if high:
+        assert not has_pd
+        kernel = _make_grouped_kernel_bf16x3(g, alpha, has_m, has_p)
+        lh = bsr.blocks.astype(jnp.bfloat16)
+        ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh = x2d.astype(jnp.bfloat16)
+        xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        operands = [_gather_grouped(lh, bsr.g_idx),
+                    _gather_grouped(ll, bsr.g_idx)]
+        operands += [xh] * g + [xl] * g
+        in_specs = [l_spec(), l_spec()]
+        in_specs += [xspec(i) for i in range(g)]
+        in_specs += [xspec(i) for i in range(g)]
+        flops = 3 * 2 * n_rows * g * BLOCK * BLOCK * c
+    else:
+        kernel = _make_grouped_kernel(g, precision, alpha, has_m, has_p,
+                                      has_pd)
+        operands = [_gather_grouped(bsr.blocks, bsr.g_idx)]
+        operands += [x2d] * g
+        in_specs = [l_spec()] + [xspec(i) for i in range(g)]
+        flops = 2 * n_rows * g * BLOCK * BLOCK * c
+    for seed in (t_prev, t_plus):
+        if seed is not None:
+            operands.append(seed)
+            in_specs.append(seed_spec())
+    if has_pd:
+        gm2, wt = t_plus_dot
+        f = wt.shape[0]
+        operands.extend([gm2, wt])
+        in_specs.extend([
+            seed_spec(),
+            pl.BlockSpec((f, f), lambda j, b, gc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c // panel, n_rows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BLOCK, panel), lambda j, b, gc: (b, j),
+                               memory_space=pltpu.VMEM),
+    )
+    op_b = bsr.blocks.dtype.itemsize if not high else 4
+    bytes_accessed = (n_rows * g * BLOCK * BLOCK * op_b
+                      + n_pad * c * (x2d.dtype.itemsize + ob)
+                      + (n_pad * c * t_plus_dot[0].dtype.itemsize
+                         if has_pd else 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), out_dtype),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=INTERPRET,
+    )(bsr.g_bcol, *operands)
+
+
 def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
                      precision=None, t_prev=None, t_plus=None,
                      t_plus_dot=None, alpha: float = 1.0) -> jnp.ndarray:
@@ -376,6 +536,11 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     out_dtype = (jnp.bfloat16
                  if BF16_STATE and bsr.blocks.dtype == jnp.bfloat16
                  and not high else jnp.float32)
+
+    if GROUPED and bsr.g_idx is not None:
+        return _grouped_matmul(bsr, x2d, precision, high, t_prev=t_prev,
+                               t_plus=t_plus, t_plus_dot=t_plus_dot,
+                               alpha=alpha, out_dtype=out_dtype)
 
     if bsr.col_order is not None:
         # widest panel under the VMEM budget for a resident output panel
@@ -615,6 +780,65 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
     return f(xt, w2)
 
 
+def _basis_mix_resident(bsr: BlockSparseOperator, xt: jnp.ndarray,
+                        w2: jnp.ndarray, k: int, prec, state_dtype,
+                        op_dtype, panel: int,
+                        input_grad: bool = True) -> jnp.ndarray:
+    """_basis_mix on the whole-recurrence resident kernels
+    (pallas_resident.py): ONE kernel call builds every basis order
+    (operator resident in VMEM, state in rotating VMEM slots, basis
+    emitted order-major so no concatenate copy), and ONE kernel call runs
+    the entire reverse recurrence for dx. The channel mix and the dW
+    contraction stay XLA dots over the stacked basis."""
+    from .pallas_resident import bsr_adjoint, bsr_basis
+
+    n_pad, b, f_pad = xt.shape
+    f_out = w2.shape[-1]
+    c = b * f_pad
+
+    def _forward(xt, w2):
+        basis = bsr_basis(bsr, xt.reshape(n_pad, c), k, prec, panel)
+        basis4 = basis.reshape(k - 1, n_pad, b, f_pad)
+        out = jax.lax.dot_general(
+            xt, w2[0], (((2,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(
+            basis4, w2[1:], (((0, 3), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        return out, basis4  # [n_pad, b, f_out] f32
+
+    @jax.custom_vjp
+    def f(xt, w2):
+        return _forward(xt, w2)[0]
+
+    def fwd(xt, w2):
+        out, basis4 = _forward(xt, w2)
+        return out, (xt, basis4, w2)
+
+    def bwd(res, g):  # g: [n_pad, b, f_out] f32
+        xt, basis4, w2 = res
+        gm = g.astype(state_dtype)
+        dw0 = jax.lax.dot_general(
+            xt, gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        dwr = jax.lax.dot_general(
+            basis4, gm, (((1, 2), (0, 1)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        dw = jnp.concatenate([dw0[None], dwr]).astype(w2.dtype)
+        if not input_grad:
+            return jnp.zeros((n_pad, b, f_pad), state_dtype), dw
+        # stacked per-order mix cotangents c_j = gm @ W_j^T, then the
+        # whole reverse recurrence in one kernel call
+        cs = jnp.einsum("nbo,kfo->knbf", gm, w2, precision=prec,
+                        preferred_element_type=jnp.float32)
+        dx = bsr_adjoint(bsr, cs.astype(state_dtype).reshape(k, n_pad, c),
+                         prec, panel)
+        return dx.reshape(n_pad, b, f_pad).astype(state_dtype), dw
+
+    f.defvjp(fwd, bwd)
+    return f(xt, w2)
+
+
 def _pad_amounts(n: int, b: int, f: int):
     n_pad = -(-n // BLOCK) * BLOCK
     f_pad = f
@@ -653,12 +877,24 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     w = jnp.pad(weight.astype(state_dtype),
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
     if FUSED_BWD:
-        # recurrence + stacked mix under ONE custom VJP: the backward runs
-        # the reverse Chebyshev recurrence as fused two-seed kernel calls
-        # (see _basis_mix) instead of autodiff's per-order kernel + two
-        # full-activation elementwise HBM round-trips.
-        out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype,
-                         input_grad=input_grad)
+        from .pallas_resident import resident_plan
+
+        panel = resident_plan(bsr, b * f_pad, state_dtype, prec) \
+            if k >= 2 else None
+        if panel is not None:
+            # whole-recurrence resident kernels: operator + state live in
+            # VMEM across every order, basis/dx in ONE call each
+            out = _basis_mix_resident(bsr, xt, w, k, prec, state_dtype,
+                                      op_dtype, panel,
+                                      input_grad=input_grad)
+        else:
+            # recurrence + stacked mix under ONE custom VJP: the backward
+            # runs the reverse Chebyshev recurrence as fused two-seed
+            # kernel calls (see _basis_mix) instead of autodiff's
+            # per-order kernel + two full-activation elementwise HBM
+            # round-trips.
+            out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype,
+                             input_grad=input_grad)
     else:
         c = b * f_pad
         prop = lambda t: bsr_matmul(

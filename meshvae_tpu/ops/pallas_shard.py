@@ -43,6 +43,13 @@ class ShardedBlockSparse:
     n: int = dataclasses.field(metadata=dict(static=True))
     n_pad: int = dataclasses.field(metadata=dict(static=True))  # global, % (sp*BLOCK) == 0
     sp: int = dataclasses.field(metadata=dict(static=True))
+    # row-grouped view per shard (see block_sparse.BlockSparseOperator):
+    # local row r's real blocks at g_idx[s, r, :]; padded slots index
+    # nb_max (the trace-time zero block) and alias the last real column
+    g_idx: jnp.ndarray | None = None    # [sp, rows_per, G] int32
+    g_bcol: jnp.ndarray | None = None   # [sp, rows_per * G] int32
+    g_width: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
 
     @property
     def rows_per_shard(self) -> int:
@@ -96,6 +103,35 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
         out["block_col"].append(c)
         out["first"].append(f)
 
+    # row-grouped view (block_sparse.BlockSparseOperator.g_idx semantics):
+    # only blocks with content join groups — the zero placeholders (missing
+    # rows, nb_max padding) contribute nothing and would otherwise inflate
+    # one row's group width
+    from .block_sparse import MAX_GROUP
+
+    nb_max = out["blocks"][0].shape[0]
+    per_row_all = []
+    g_max = 1
+    for b, r, c in zip(out["blocks"], out["block_row"], out["block_col"]):
+        per_row = [[] for _ in range(rows_per)]
+        for i in range(nb_max):
+            if np.any(b[i]):
+                per_row[int(r[i])].append(i)
+        per_row_all.append(per_row)
+        g_max = max(g_max, max((len(v) for v in per_row), default=1))
+    g_idx = g_bcol = None
+    if g_max <= MAX_GROUP:
+        g_idx = np.full((sp, rows_per, g_max), nb_max, np.int32)
+        g_bcol = np.zeros((sp, rows_per, g_max), np.int32)
+        for s, per_row in enumerate(per_row_all):
+            c = out["block_col"][s]
+            for r_, idxs in enumerate(per_row):
+                for i, bi in enumerate(idxs):
+                    g_idx[s, r_, i] = bi
+                    g_bcol[s, r_, i] = c[bi]
+                if idxs:
+                    g_bcol[s, r_, len(idxs):] = c[idxs[-1]]
+
     return ShardedBlockSparse(
         blocks=jnp.asarray(np.stack(out["blocks"]), dtype=op_dtype),
         block_row=jnp.asarray(np.stack(out["block_row"])),
@@ -104,6 +140,10 @@ def shard_block_sparse(bsr: BlockSparseOperator, sp: int) -> ShardedBlockSparse:
         n=bsr.n,
         n_pad=n_pad_global,
         sp=sp,
+        g_idx=None if g_idx is None else jnp.asarray(g_idx),
+        g_bcol=(None if g_bcol is None
+                else jnp.asarray(g_bcol.reshape(sp, -1))),
+        g_width=0 if g_idx is None else g_max,
     )
 
 
@@ -120,23 +160,31 @@ def _mapped_product(sbsr: ShardedBlockSparse, mesh, precision,
     from .pallas_cheb import _bsr_matmul_impl
 
     rows_local = sbsr.rows_per_shard
+    grouped = sbsr.g_idx is not None
 
-    def local_op(blocks, brow, bcol, first):
+    def local_op(blocks, brow, bcol, first, g_idx=None, g_bcol=None):
         return BlockSparseOperator(
             blocks=blocks[0], block_row=brow[0], block_col=bcol[0],
             first=first[0], n=rows_local, n_pad=rows_local,
-            n_pad_cols=sbsr.n_pad)
+            n_pad_cols=sbsr.n_pad,
+            g_idx=None if g_idx is None else g_idx[0],
+            g_bcol=None if g_bcol is None else g_bcol[0],
+            g_width=sbsr.g_width if g_idx is not None else 0)
 
     op_specs = (P("sp", None, None, None), P("sp", None), P("sp", None),
                 P("sp", None))
+    if grouped:
+        op_specs = op_specs + (P("sp", None, None), P("sp", None))
+    n_op = len(op_specs)
     n_seeds = int(fuse_prev) + int(fuse_plus)
 
-    def body(blocks, brow, bcol, first, x_shard, *seeds):
+    def body(*args):
+        ops_args, (x_shard, *seeds) = args[:n_op], args[n_op:]
         x_full = jax.lax.all_gather(x_shard, "sp", axis=0, tiled=True)
         tprev = seeds[0] if fuse_prev else None
         tplus = seeds[1 if fuse_prev else 0] if fuse_plus else None
         tpd = (seeds[n_seeds], seeds[n_seeds + 1]) if fuse_plus_dot else None
-        return _bsr_matmul_impl(local_op(blocks, brow, bcol, first),
+        return _bsr_matmul_impl(local_op(*ops_args),
                                 x_full, precision, t_prev=tprev,
                                 t_plus=tplus, t_plus_dot=tpd, alpha=alpha)
 
@@ -156,6 +204,8 @@ def bsr_matmul_sharded(sbsr: ShardedBlockSparse, x2d: jnp.ndarray, mesh,
     mapped = _mapped_product(sbsr, mesh, precision, alpha=1.0,
                              fuse_prev=False)
     args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
+    if sbsr.g_idx is not None:
+        args = args + (sbsr.g_idx, sbsr.g_bcol)
 
     @jax.custom_vjp
     def mm(x):
@@ -184,6 +234,8 @@ def cheb_step_sharded(sbsr: ShardedBlockSparse, t1: jnp.ndarray,
     double = _mapped_product(sbsr, mesh, precision, alpha=2.0,
                              fuse_prev=False)
     args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
+    if sbsr.g_idx is not None:
+        args = args + (sbsr.g_idx, sbsr.g_bcol)
 
     @jax.custom_vjp
     def step(a, b):
@@ -213,6 +265,8 @@ def _basis_mix_sharded(sbsr: ShardedBlockSparse, mesh, xt: jnp.ndarray,
 
     prods = {}
     args = (sbsr.blocks, sbsr.block_row, sbsr.block_col, sbsr.first)
+    if sbsr.g_idx is not None:
+        args = args + (sbsr.g_idx, sbsr.g_bcol)
 
     def _mm(a, alpha, p_plus, p_minus, p_plus_dot=None):
         r = lambda t: t.reshape(n_pad, c)
