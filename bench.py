@@ -573,8 +573,11 @@ def main():
     template = load_obj(TEMPLATE)
     polygon_order = 6
     if args.workload == "scaled20k":
-        from meshvae_tpu.mesh.subdivide import subdivide_midpoint
-        template = subdivide_midpoint(template)
+        from meshvae_tpu.mesh.subdivide import (reorder_vertices_rcm,
+                                                 subdivide_midpoint)
+        # RCM relabeling: raw subdivision shatters block locality (8x the
+        # occupied operator blocks) — see mesh/subdivide.reorder_vertices_rcm
+        template = reorder_vertices_rcm(subdivide_midpoint(template))
         polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
 

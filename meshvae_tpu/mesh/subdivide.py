@@ -39,3 +39,28 @@ def subdivide_midpoint(mesh: TriMesh) -> TriMesh:
 
     return TriMesh(np.concatenate(new_verts, axis=0),
                    np.asarray(new_faces, dtype=np.int64))
+
+
+def reorder_vertices_rcm(mesh: TriMesh) -> TriMesh:
+    """Relabel vertices by reverse Cuthill-McKee over the edge graph.
+
+    Midpoint subdivision appends all edge midpoints after the original
+    vertices, destroying the locality the block-sparse kernels feed on:
+    the subdivided 20k template's level-0 Laplacian occupies 5,226
+    128x128 blocks (33 per block-row) where the RCM relabeling packs the
+    same graph into 633 blocks (max 5 per row) — 8x less operator
+    streaming per SpMM, and narrow enough rows for the row-grouped
+    kernel. Pure relabeling: the surface, topology, and per-vertex
+    semantics are unchanged (vertex order is an internal detail of the
+    GENERATED scaled templates; the vendored template5k is never
+    touched — its ordering is part of the reference parity surface)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from .connectivity import vertex_adjacency
+
+    adj = sp.csr_matrix(vertex_adjacency(mesh.num_vertices, mesh.f))
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return TriMesh(np.asarray(mesh.v)[perm], inv[np.asarray(mesh.f)])

@@ -10,7 +10,7 @@ import os
 import sys
 
 from ..mesh.io import load_obj, save_obj
-from ..mesh.subdivide import subdivide_midpoint
+from ..mesh.subdivide import reorder_vertices_rcm, subdivide_midpoint
 
 
 def ensure_template(path: str) -> None:
@@ -56,6 +56,10 @@ def ensure_template(path: str) -> None:
         while k < target_k:
             mesh = subdivide_midpoint(mesh)
             k *= 4
+        # RCM relabeling: subdivision appends midpoints at the end, which
+        # shatters block locality (8x more occupied operator blocks at
+        # 20k); see mesh/subdivide.reorder_vertices_rcm
+        mesh = reorder_vertices_rcm(mesh)
         tmp = path + f".tmp{os.getpid()}"
         save_obj(tmp, mesh.v, mesh.f)
         os.replace(tmp, path)
@@ -67,7 +71,7 @@ def ensure_template(path: str) -> None:
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "./template/template5k.obj"
     dst = sys.argv[2] if len(sys.argv) > 2 else "./template/template20k.obj"
-    mesh = subdivide_midpoint(load_obj(src))
+    mesh = reorder_vertices_rcm(subdivide_midpoint(load_obj(src)))
     import os
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     save_obj(dst, mesh.v, mesh.f)

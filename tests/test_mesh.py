@@ -166,3 +166,50 @@ class TestProcrustes:
         _, mtx2, disp_ref = scipy_procrustes(a, b)
         np.testing.assert_allclose(aligned, mtx2, atol=1e-10)
         np.testing.assert_allclose(disparity, disp_ref, atol=1e-10)
+
+
+class TestRcmReorder:
+    """reorder_vertices_rcm: pure relabeling that restores block locality
+    after midpoint subdivision (the scaled templates are generated with
+    it — raw subdivision appends midpoints at the end and inflates the
+    occupied operator blocks ~8x at 20k)."""
+
+    def test_same_surface_and_topology(self):
+        from meshvae_tpu.mesh.subdivide import (reorder_vertices_rcm,
+                                                subdivide_midpoint)
+
+        mesh = make_grid_mesh(9, jitter=0.03)
+        sub = subdivide_midpoint(mesh)
+        re = reorder_vertices_rcm(sub)
+        assert re.num_vertices == sub.num_vertices
+        assert re.num_faces == sub.num_faces
+        # same vertex set (relabeled), same edge set under the relabeling
+        a = np.asarray(sorted(map(tuple, np.asarray(sub.v).tolist())))
+        b = np.asarray(sorted(map(tuple, np.asarray(re.v).tolist())))
+        np.testing.assert_allclose(a, b)
+
+        def edge_set(m):
+            f = np.asarray(m.f)
+            e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+            e = np.sort(e, axis=1)
+            v = np.asarray(m.v)
+            # geometric edge set (midpoint coordinates are unique here)
+            return {tuple(np.round((v[i] + v[j]) / 2, 9)) for i, j in e}
+
+        assert edge_set(sub) == edge_set(re)
+
+    def test_reduces_block_count(self):
+        import scipy.sparse as sp
+
+        from meshvae_tpu.mesh.connectivity import vertex_adjacency
+        from meshvae_tpu.mesh.subdivide import (reorder_vertices_rcm,
+                                                subdivide_midpoint)
+
+        mesh = subdivide_midpoint(make_grid_mesh(12, jitter=0.0))
+
+        def blocks(m):
+            adj = sp.coo_matrix(vertex_adjacency(m.num_vertices, m.f))
+            return len({(r // 128, c // 128)
+                        for r, c in zip(adj.row, adj.col)})
+
+        assert blocks(reorder_vertices_rcm(mesh)) < blocks(mesh)

@@ -799,3 +799,22 @@ class TestGroupedKernel:
         for a, c_, name in zip(gd, gp, ("dx", "dw")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
                                        rtol=1e-3, atol=1e-3, err_msg=name)
+
+    def test_wide_row_falls_back_to_per_block(self):
+        """A row spanning more than MAX_GROUP block-columns gets no
+        grouped view; the per-block kernels take over transparently."""
+        from meshvae_tpu.ops.block_sparse import MAX_GROUP
+
+        n = (MAX_GROUP + 2) * BLOCK
+        rng = np.random.default_rng(15)
+        dense = np.zeros((n, n), np.float32)
+        # first row touches every block column (> MAX_GROUP of them)
+        dense[0, :: BLOCK] = 1.0
+        dense[:: BLOCK, 0] = 1.0  # keep it symmetric-ish
+        bsr = to_block_sparse(sp.csr_matrix(dense))
+        assert bsr.g_idx is None and bsr.g_width == 0
+        x = jnp.asarray(rng.standard_normal((bsr.n_pad, 128)), jnp.float32)
+        y = np.asarray(pc._bsr_matmul_impl(bsr, x,
+                                           jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(y[:n], dense @ np.asarray(x)[:n],
+                                   rtol=1e-5, atol=1e-5)
