@@ -28,7 +28,7 @@ ms/iter and the argmin.
 
 Usage:
   python benchmarks/autotune.py [--batch-size 128]
-      [--compute-dtype bfloat16] [--k 6] [--features 16] [--iters 30]
+      [--compute-dtype bfloat16] [--k 6] [--features 16] [--iters 300]
       [--panels 512,1024,2048] [--budgets 0,6291456,8388608]
       [--seed-dots 1,0] [--cpu]
 
@@ -56,7 +56,7 @@ def main():
     ap.add_argument("--precision", default="default")
     ap.add_argument("--k", type=int, default=6)
     ap.add_argument("--features", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--panels", default="512,1024,2048")
     ap.add_argument("--budgets", default="0," + str(6 * 1024 * 1024))
     ap.add_argument("--seed-dots", default="1")
@@ -152,16 +152,26 @@ def main():
     fwd_cache = {}  # FUSED_SEED_DOT is backward-only: fwd depends on
     #                 (grouped, panel, budget) alone — don't pay a ~10 min
     #                 remote compile re-timing an identical forward per sd
+    seen = set()
     try:
         for grouped, panel, budget, sd in itertools.product(
                 groupeds, panels, budgets, seed_dots):
+            if grouped:
+                # COLMAJOR_VMEM_BUDGET is dead code behind the grouped
+                # kernel — collapse it or every budget value re-compiles
+                # (~10 min each) a byte-identical executable
+                budget = 0
+            if (grouped, panel, budget, sd) in seen:
+                continue
+            seen.add((grouped, panel, budget, sd))
             pc.GROUPED = grouped
             pc.GROUP_MAX_PANEL = panel
             pc.MAX_PANEL = panel
             pc.COLMAJOR_VMEM_BUDGET = budget
             pc.FUSED_SEED_DOT = sd
             row = {"grouped": grouped, "max_panel": panel,
-                   "colmajor_budget": budget, "fused_seed_dot": sd}
+                   "colmajor_budget": None if grouped else budget,
+                   "fused_seed_dot": sd}
             tag = f"g{int(grouped)}_p{panel}_b{budget}_sd{int(sd)}"
             for cmp in want:
                 if cmp == "fwd" and (grouped, panel, budget) in fwd_cache:

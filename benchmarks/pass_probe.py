@@ -8,7 +8,7 @@ per-grid-step overhead? Same-session probes on the level-0 operator:
   xla_dense  jnp.einsum on the dense operator (MXU sustained reference)
 
 Usage: python benchmarks/pass_probe.py [--batch-size 128]
-           [--compute-dtype bfloat16] [--iters 30]
+           [--compute-dtype bfloat16] [--iters 300]
 """
 import argparse
 import dataclasses
@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--precision", default="default")
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--f", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -88,14 +88,18 @@ def main():
     nb2 = bsr.num_blocks // 2
     # keep every second block: roughly preserves row coverage
     sel = np.arange(0, bsr.num_blocks, 2)
+    # null the grouped metadata too: stale g_idx would silently dispatch
+    # the grouped kernel against the ORIGINAL block count
     half = dataclasses.replace(
         bsr, blocks=bsr.blocks[sel], block_row=bsr.block_row[sel],
         block_col=bsr.block_col[sel],
         first=jnp.asarray(np.ones(len(sel), np.int32)),
-        col_order=None, block_row_c=None, block_col_c=None)
+        col_order=None, block_row_c=None, block_col_c=None,
+        g_idx=None, g_bcol=None, g_width=0)
     results["half"] = timed("half", spmm_scan(half), x)
     results["nb_half"] = int(len(sel))
 
+    pr.RESIDENT = True  # the flag gates dispatch eligibility, not measurement
     panel = pr.resident_plan(bsr, c, op_dtype, prec)
     if panel is not None:
         def basis_scan(t0):
@@ -107,14 +111,14 @@ def main():
         results["resident_basis_k6"] = timed("resident_k6", basis_scan, x)
         results["resident_panel"] = panel
 
-    dense = jnp.asarray(np.asarray(
-        jax.device_put(np.zeros((bsr.n_pad, bsr.n_pad), np.float32))))
-    # build dense from blocks on host
+    # build dense from blocks on host (pull the metadata once, not per block)
     dn = np.zeros((bsr.n_pad, bsr.n_pad), np.float32)
     blocks = np.asarray(bsr.blocks, np.float32)
+    block_row = np.asarray(bsr.block_row)
+    block_col = np.asarray(bsr.block_col)
     for i in range(bsr.num_blocks):
-        r = int(bsr.block_row[i]) * 128
-        cc = int(bsr.block_col[i]) * 128
+        r = int(block_row[i]) * 128
+        cc = int(block_col[i]) * 128
         dn[r:r + 128, cc:cc + 128] += blocks[i]
     dense = jnp.asarray(dn).astype(op_dtype)
 

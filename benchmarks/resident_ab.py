@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--precision", default="default")
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--polygon-order", type=int, default=6)
     ap.add_argument("--f-in", type=int, default=16)
     ap.add_argument("--f-out", type=int, default=16)

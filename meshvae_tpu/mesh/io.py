@@ -53,12 +53,17 @@ def load_obj(path: str) -> TriMesh:
                    np.array(faces, dtype=np.int64).reshape(-1, 3))
 
 
-def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
+             comment: str | None = None) -> None:
     """Write an OBJ with the same `v %f` / `f %d` layout the reference emits
-    (/root/reference/data.py:20-26), so downstream tooling is interchangeable."""
+    (/root/reference/data.py:20-26), so downstream tooling is interchangeable.
+    `comment` (no newlines) is emitted as a leading `# ` line — used by the
+    scaled-template generator as a version marker; all loaders skip it."""
     vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
     faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
     lines = []
+    if comment:
+        lines.append("# " + comment)
     for v in vertices:
         lines.append("v %f %f %f" % (v[0], v[1], v[2]))
     for f in faces + 1:

@@ -403,11 +403,19 @@ def _grouped_matmul(bsr: BlockSparseOperator, x2d, precision, high,
     xb = 2 if high else x2d.dtype.itemsize
     ob = jnp.dtype(out_dtype).itemsize
     n_x = g * (2 if high else 1)
+    # real per-seed itemsizes: seeds are f32 in HIGH mode (state_dtype),
+    # bf16 in bf16-state mode — a flat "2" undercounts f32 seeds 2x
+    seed_b = sum(s.dtype.itemsize for s in (t_prev, t_plus)
+                 if s is not None)
+    if has_pd:
+        seed_b += t_plus_dot[0].dtype.itemsize
+    # double-buffered gathered L blocks (lh+ll pair in HIGH mode)
+    lb = 2 if high else bsr.blocks.dtype.itemsize
+    l_bytes = 2 * (2 if high else 1) * g * BLOCK * BLOCK * lb
     # widest panel under the VMEM budget: double-buffered slabs dominate
     panel = _COL_PANEL
     while (panel * 2 <= min(c, GROUP_MAX_PANEL) and c % (panel * 2) == 0
-           and BLOCK * panel * 2 * (2 * n_x * xb + 2 * ob
-                                    + 2 * (has_m + has_p + has_pd))
+           and BLOCK * panel * 2 * (n_x * xb + ob + seed_b) + l_bytes
            <= GROUP_VMEM_BUDGET):
         panel *= 2
 

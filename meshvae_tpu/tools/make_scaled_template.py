@@ -12,6 +12,26 @@ import sys
 from ..mesh.io import load_obj, save_obj
 from ..mesh.subdivide import reorder_vertices_rcm, subdivide_midpoint
 
+# Generator version marker (leading OBJ comment). v2 = RCM-relabeled
+# vertex order (mesh/subdivide.reorder_vertices_rcm) — v1 files (no
+# marker, midpoints appended last) shatter block locality and cost the
+# grouped-kernel speedup, so they are regenerated in place.
+_MARKER = "meshvae_tpu scaled template v2 (rcm)"
+
+
+def _generated_version(path: str) -> int | None:
+    """Generator version of an existing template: 2 for current files,
+    None for files we cannot attribute (user-provided, or generated
+    before markers existed — indistinguishable, so never clobbered)."""
+    try:
+        with open(path, "r") as fp:
+            first = fp.readline()
+    except OSError:
+        return None
+    if first.startswith("#") and "meshvae_tpu scaled template" in first:
+        return 2 if "v2" in first else 1
+    return None
+
 
 def ensure_template(path: str) -> None:
     """Auto-generate a missing scaled template. A path of the form
@@ -50,21 +70,33 @@ def ensure_template(path: str) -> None:
             f"{target_k}k — provide the template file explicitly")
     from ..parallel.sharding import is_primary, sync_processes
 
-    if is_primary() and not os.path.exists(path):
-        mesh = load_obj(src)
-        k = 5
-        while k < target_k:
-            mesh = subdivide_midpoint(mesh)
-            k *= 4
-        # RCM relabeling: subdivision appends midpoints at the end, which
-        # shatters block locality (8x more occupied operator blocks at
-        # 20k); see mesh/subdivide.reorder_vertices_rcm
-        mesh = reorder_vertices_rcm(mesh)
-        tmp = path + f".tmp{os.getpid()}"
-        save_obj(tmp, mesh.v, mesh.f)
-        os.replace(tmp, path)
-        print(f"generated {path}: {mesh.num_vertices} vertices "
-              f"(midpoint subdivision of {src})")
+    if is_primary():
+        exists = os.path.exists(path)
+        version = _generated_version(path) if exists else None
+        if exists and version is None:
+            # Could be user-provided OR generated before version markers
+            # existed (pre-RCM: midpoints appended, ~8x the operator
+            # blocks). We never clobber a file we can't attribute, but the
+            # perf cliff deserves a loud hint.
+            print(f"note: {path} exists without a generator marker; if it "
+                  f"was machine-generated before RCM relabeling, delete it "
+                  f"to regenerate with the block-local vertex order",
+                  file=sys.stderr)
+        if not exists or (version is not None and version < 2):
+            mesh = load_obj(src)
+            k = 5
+            while k < target_k:
+                mesh = subdivide_midpoint(mesh)
+                k *= 4
+            # RCM relabeling: subdivision appends midpoints at the end,
+            # which shatters block locality (8x more occupied operator
+            # blocks at 20k); see mesh/subdivide.reorder_vertices_rcm
+            mesh = reorder_vertices_rcm(mesh)
+            tmp = path + f".tmp{os.getpid()}"
+            save_obj(tmp, mesh.v, mesh.f, comment=_MARKER)
+            os.replace(tmp, path)
+            print(f"generated {path}: {mesh.num_vertices} vertices "
+                  f"(midpoint subdivision of {src})")
     sync_processes(f"scaled_template_{name}")
 
 
@@ -72,9 +104,8 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "./template/template5k.obj"
     dst = sys.argv[2] if len(sys.argv) > 2 else "./template/template20k.obj"
     mesh = reorder_vertices_rcm(subdivide_midpoint(load_obj(src)))
-    import os
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-    save_obj(dst, mesh.v, mesh.f)
+    save_obj(dst, mesh.v, mesh.f, comment=_MARKER)
     print(f"wrote {dst}: {mesh.num_vertices} vertices, "
           f"{mesh.num_faces} faces")
 

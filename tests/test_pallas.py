@@ -739,6 +739,7 @@ class TestGroupedKernel:
             dict(t_prev=tp, alpha=2.0),
             dict(t_plus=tp, alpha=2.0),
         ]
+        old_grouped = pc.GROUPED
         try:
             for prec in (HI, jax.lax.Precision.HIGH):
                 for kwargs in cases:
@@ -752,7 +753,7 @@ class TestGroupedKernel:
                         yg, yl, rtol=1e-5, atol=1e-5,
                         err_msg=f"prec={prec} kwargs={sorted(kwargs)}")
         finally:
-            pc.GROUPED = True
+            pc.GROUPED = old_grouped
 
     def test_fused_seed_dot_grouped(self, big_graph):
         """t_plus_dot (the lazy in-kernel mix-cotangent seed) through the
