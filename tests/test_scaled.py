@@ -33,6 +33,22 @@ class TestEnsureTemplate:
         assert mesh.v.shape[0] == 19992
         assert mesh.f.shape[0] == 39984
 
+    def test_marker_and_v1_regeneration(self, tmp_path):
+        from meshvae_tpu.tools.make_scaled_template import _MARKER
+        tdir = tmp_path / "template"
+        tdir.mkdir()
+        shutil.copy(TEMPLATE5K, tdir / "template5k.obj")
+        dst = tdir / "template20k.obj"
+        # fresh generation stamps the v2 marker as the first line
+        ensure_template(str(dst))
+        first = dst.read_text().splitlines()[0]
+        assert first == "# " + _MARKER
+        # a v1-marked file (pre-RCM vertex order) is regenerated in place
+        dst.write_text("# meshvae_tpu scaled template v1\nv 0 0 0\n")
+        ensure_template(str(dst))
+        assert load_obj(str(dst)).num_vertices == 19992
+        assert dst.read_text().splitlines()[0] == "# " + _MARKER
+
     def test_noop_when_present_or_unrecognized(self, tmp_path):
         # existing file untouched
         p = tmp_path / "template20k.obj"
