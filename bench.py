@@ -33,6 +33,12 @@ PALLAS_PARITY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   ".bench_pallas_parity.npz")
 
 
+def workload_tag(workload: str) -> str:
+    """Metric-name tag for a --workload value: default -> "5k",
+    scaled20k -> "20k", scaled80k -> "80k"."""
+    return "5k" if workload == "default" else workload[len("scaled"):]
+
+
 def measure_jax(hier, batch_size, steps, warmup, method, precision,
                 polygon_order=6, scan=False, compute_dtype="float32",
                 model_type="vae", parity=None):
@@ -537,9 +543,11 @@ def main():
                              "grad-norm to the given .npz (used by auto "
                              "mode's pallas subprocess)")
     parser.add_argument("--workload", default="default",
-                        choices=["default", "scaled20k"],
+                        choices=["default", "scaled20k", "scaled80k"],
                         help="scaled20k: midpoint-subdivided ~20k-vertex "
-                             "template with K=10 (BASELINE.json config 5)")
+                             "template with K=10 (BASELINE.json config 5); "
+                             "scaled80k: one more subdivision (~80k verts, "
+                             "16x the reference mesh)")
     args = parser.parse_args()
     global PLATFORM_NOTE
     if not args.cpu and not args.skip_preflight and not backend_preflight():
@@ -572,12 +580,17 @@ def main():
 
     template = load_obj(TEMPLATE)
     polygon_order = 6
-    if args.workload == "scaled20k":
+    if args.workload != "default":
         from meshvae_tpu.mesh.subdivide import (reorder_vertices_rcm,
                                                  subdivide_midpoint)
         # RCM relabeling: raw subdivision shatters block locality (8x the
         # occupied operator blocks) — see mesh/subdivide.reorder_vertices_rcm
-        template = reorder_vertices_rcm(subdivide_midpoint(template))
+        target_k = int(args.workload[len("scaled"):-1])
+        k = 5
+        while k < target_k:
+            template = subdivide_midpoint(template)
+            k *= 4
+        template = reorder_vertices_rcm(template)
         polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
 
@@ -611,7 +624,7 @@ def main():
             print(f"torch crecon baseline unavailable: {exc}", file=sys.stderr)
         print(json.dumps({
             "metric": "crecon_train_throughput_%s%s_bs%d" % (
-                "5k" if args.workload == "default" else "20k",
+                workload_tag(args.workload),
                 "_bf16" if args.compute_dtype == "bfloat16" else "",
                 args.batch_size),
             "value": round(meshes_per_sec, 2),
@@ -652,7 +665,7 @@ def main():
                   file=sys.stderr)
         print(json.dumps({
             "metric": "inference_throughput_%s%s_bs%d" % (
-                "5k" if args.workload == "default" else "20k",
+                workload_tag(args.workload),
                 "_bf16" if args.compute_dtype == "bfloat16" else "",
                 args.batch_size),
             "value": round(meshes_per_sec, 2),
@@ -734,7 +747,7 @@ def main():
     except Exception as exc:  # baseline failure must not kill the bench
         print(f"torch baseline unavailable: {exc}", file=sys.stderr)
 
-    tag = "5k" if args.workload == "default" else "20k"
+    tag = workload_tag(args.workload)
     if args.compute_dtype == "bfloat16":
         tag += "_bf16"
     result = {

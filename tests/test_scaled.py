@@ -49,6 +49,17 @@ class TestEnsureTemplate:
         assert load_obj(str(dst)).num_vertices == 19992
         assert dst.read_text().splitlines()[0] == "# " + _MARKER
 
+    def test_generates_80k_two_subdivisions(self, tmp_path):
+        tdir = tmp_path / "template"
+        tdir.mkdir()
+        shutil.copy(TEMPLATE5K, tdir / "template5k.obj")
+        dst = str(tdir / "template80k.obj")
+        ensure_template(dst)
+        mesh = load_obj(dst)
+        # two midpoint subdivisions: 4998 -> 19992 -> 79968 vertices
+        assert mesh.v.shape[0] == 79968
+        assert mesh.f.shape[0] == 159936
+
     def test_noop_when_present_or_unrecognized(self, tmp_path):
         # existing file untouched
         p = tmp_path / "template20k.obj"
@@ -67,14 +78,16 @@ class TestEnsureTemplate:
 
 
 @pytest.mark.slow
-class TestScaled20kStep:
-    def test_dp_sp_train_step_at_scale(self, tmp_path):
-        """One dp4 x sp2 train step at the scaled20k.cfg shapes (19992
-        vertices, K=10, 4 layers): hierarchy builds, operators shard, the
-        step compiles and produces a finite loss. cheb_method="ell" keeps
-        the CPU run tractable (the dense level-0 operator would be 1.6 GB;
-        the sharded Pallas kernel is certified by test_parallel and the
-        driver's dryrun_multichip)."""
+class TestScaledStep:
+    @pytest.mark.parametrize("target", ["20k", "80k"])
+    def test_dp_sp_train_step_at_scale(self, tmp_path, target):
+        """One dp x sp train step at the scaled-workload shapes (19992 /
+        79968 vertices, K=10, 4 layers): hierarchy builds, operators
+        shard, the step compiles and produces a finite loss.
+        cheb_method="ell" keeps the CPU run tractable (the dense level-0
+        operator would be 1.6 GB at 20k / 26 GB at 80k; the sharded
+        Pallas kernel is certified by test_parallel and the driver's
+        dryrun_multichip)."""
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
         from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
@@ -86,13 +99,13 @@ class TestScaled20kStep:
         tdir = tmp_path / "template"
         tdir.mkdir()
         shutil.copy(TEMPLATE5K, tdir / "template5k.obj")
-        dst = str(tdir / "template20k.obj")
+        dst = str(tdir / f"template{target}.obj")
         ensure_template(dst)
         template = load_obj(dst)
 
         hier = load_or_build_hierarchy(template, [4, 4, 4, 4],
                                        cache_dir=str(tmp_path / "cache"))
-        assert hier.levels[0] == 19992
+        assert hier.levels[0] == {"20k": 19992, "80k": 79968}[target]
         config = {
             "num_conv_filters": [16, 16, 16, 32, 32],
             "polygon_order": [10] * 5,
@@ -113,7 +126,9 @@ class TestScaled20kStep:
         trainer = Trainer(model, ops, config, mesh=mesh)
 
         rng = np.random.default_rng(0)
-        bs, n0 = 8, hier.levels[0]
+        # dp4 needs bs % 4 == 0; 80k quadruples the activation volume,
+        # so shrink the batch to keep the CPU run inside the suite budget
+        bs, n0 = {"20k": 8, "80k": 4}[target], hier.levels[0]
         batch = {
             "x": rng.standard_normal((bs, n0, 3)).astype(np.float32),
             "label": rng.integers(0, 2, bs).astype(np.int32),
