@@ -581,21 +581,21 @@ def main():
     template = load_obj(TEMPLATE)
     polygon_order = 6
     if args.workload != "default":
-        from meshvae_tpu.mesh.subdivide import (reorder_vertices_rcm,
-                                                 subdivide_midpoint)
-        # RCM relabeling: raw subdivision shatters block locality (8x the
-        # occupied operator blocks) — see mesh/subdivide.reorder_vertices_rcm
-        target_k = int(args.workload[len("scaled"):-1])
-        k = 5
-        while k < target_k:
-            template = subdivide_midpoint(template)
-            k *= 4
-        template = reorder_vertices_rcm(template)
+        from meshvae_tpu.mesh.subdivide import subdivide_to_target
+        # subdivides to ~Nk vertices and RCM-relabels (raw subdivision
+        # shatters block locality — see mesh/subdivide)
+        template = subdivide_to_target(
+            template, int(args.workload[len("scaled"):-1]))
         polygon_order = 10
     hier = load_or_build_hierarchy(template, [4, 4, 4, 4])
+    # auto mode's in-process comparison leg: dense where the level-0
+    # operator fits comfortably (5k: 100 MB, 20k: 1.6 GB f32); beyond
+    # that use ell — the 80k dense operator (~26 GB) exceeds HBM outright
+    auto_local = ("dense" if hier.levels[0] ** 2 * 4 <= 2 * 1024 ** 3
+                  else "ell")
 
     if args.mode == "crecon":
-        crecon_method = "dense" if args.method == "auto" else args.method
+        crecon_method = auto_local if args.method == "auto" else args.method
         # the pallas try MUST run before this process touches the TPU —
         # the device is single-tenant, so a subprocess started after the
         # dense measurement dies on backend init (same ordering as train)
@@ -636,7 +636,7 @@ def main():
         return
 
     if args.mode == "inference":
-        infer_method = "dense" if args.method == "auto" else args.method
+        infer_method = auto_local if args.method == "auto" else args.method
         # pallas try first: the TPU is single-tenant (see crecon above)
         pallas_value = None
         if args.method == "auto":
@@ -680,7 +680,7 @@ def main():
     model_type = "joint" if args.mode == "joint" else "vae"
     pallas_result = pallas_loss = None
     if method == "auto":
-        method = "dense"
+        method = auto_local
         if os.path.exists(PALLAS_PARITY_PATH):
             os.remove(PALLAS_PARITY_PATH)  # stale artifacts must not match
         pallas_result, pallas_loss = try_pallas_subprocess(args, polygon_order,

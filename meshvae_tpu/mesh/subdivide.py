@@ -64,3 +64,17 @@ def reorder_vertices_rcm(mesh: TriMesh) -> TriMesh:
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
     return TriMesh(np.asarray(mesh.v)[perm], inv[np.asarray(mesh.f)])
+
+
+def subdivide_to_target(mesh: TriMesh, target_k: int,
+                        base_k: int = 5) -> TriMesh:
+    """Midpoint-subdivide a ~`base_k`-thousand-vertex mesh until
+    ~`target_k` thousand (4x vertices per round), then RCM-relabel for
+    block locality. The single scaling rule shared by the scaled-template
+    generator (tools/make_scaled_template.ensure_template) and the bench's
+    in-process scaledNk workloads (bench.py)."""
+    k = base_k
+    while k < target_k:
+        mesh = subdivide_midpoint(mesh)
+        k *= 4
+    return reorder_vertices_rcm(mesh)

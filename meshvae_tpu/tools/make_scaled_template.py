@@ -10,7 +10,7 @@ import os
 import sys
 
 from ..mesh.io import load_obj, save_obj
-from ..mesh.subdivide import reorder_vertices_rcm, subdivide_midpoint
+from ..mesh.subdivide import subdivide_to_target
 
 # Generator version marker (leading OBJ comment). v2 = RCM-relabeled
 # vertex order (mesh/subdivide.reorder_vertices_rcm) — v1 files (no
@@ -83,15 +83,9 @@ def ensure_template(path: str) -> None:
                   f"to regenerate with the block-local vertex order",
                   file=sys.stderr)
         if not exists or (version is not None and version < 2):
-            mesh = load_obj(src)
-            k = 5
-            while k < target_k:
-                mesh = subdivide_midpoint(mesh)
-                k *= 4
-            # RCM relabeling: subdivision appends midpoints at the end,
-            # which shatters block locality (8x more occupied operator
-            # blocks at 20k); see mesh/subdivide.reorder_vertices_rcm
-            mesh = reorder_vertices_rcm(mesh)
+            # subdivide to ~target_k thousand vertices + RCM relabeling
+            # (raw subdivision shatters block locality; see mesh/subdivide)
+            mesh = subdivide_to_target(load_obj(src), target_k)
             tmp = path + f".tmp{os.getpid()}"
             save_obj(tmp, mesh.v, mesh.f, comment=_MARKER)
             os.replace(tmp, path)
@@ -103,7 +97,7 @@ def ensure_template(path: str) -> None:
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "./template/template5k.obj"
     dst = sys.argv[2] if len(sys.argv) > 2 else "./template/template20k.obj"
-    mesh = reorder_vertices_rcm(subdivide_midpoint(load_obj(src)))
+    mesh = subdivide_to_target(load_obj(src), target_k=20)
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     save_obj(dst, mesh.v, mesh.f, comment=_MARKER)
     print(f"wrote {dst}: {mesh.num_vertices} vertices, "

@@ -103,3 +103,16 @@ class TestShippedConfigs:
         assert config["polygon_order"] == [10] * 5
         assert config["cheb_method"] == "pallas"
         assert config["template"].endswith("template20k.obj")
+
+    def test_scaled80k_cfg_parses(self):
+        import os
+        from meshvae_tpu.config import read_config
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        config = read_config(os.path.join(root, "files", "scaled80k.cfg"))
+        assert config["polygon_order"] == [10] * 5
+        assert config["cheb_method"] == "pallas"
+        assert config["template"].endswith("template80k.obj")
+        # the first checked-in cfg pairing bf16 compute with default
+        # matmul precision (HIGHEST would force multi-pass emulation)
+        assert config["compute_dtype"] == "bfloat16"
+        assert config["matmul_precision"] == "default"
