@@ -603,10 +603,20 @@ def main():
         if args.method == "auto":
             pallas_value, _ = try_pallas_subprocess(args, polygon_order,
                                                     mode="crecon")
-        meshes_per_sec, _ = measure_crecon(hier, args.batch_size, args.steps,
-                                           crecon_method, args.precision,
-                                           polygon_order=polygon_order,
-                                           compute_dtype=args.compute_dtype)
+        try:
+            meshes_per_sec, _ = measure_crecon(
+                hier, args.batch_size, args.steps, crecon_method,
+                args.precision, polygon_order=polygon_order,
+                compute_dtype=args.compute_dtype)
+        except Exception as exc:
+            if pallas_value is None:
+                raise
+            # same degradation as train mode: the pallas number was
+            # measured in its own process and survives a local-leg crash
+            print(f"auto-mode local {crecon_method} leg failed "
+                  f"({type(exc).__name__}: {exc}); reporting the pallas "
+                  f"subprocess result", file=sys.stderr)
+            meshes_per_sec = pallas_value
         if pallas_value is not None and pallas_value > meshes_per_sec:
             meshes_per_sec = pallas_value
         baseline = None
@@ -642,11 +652,19 @@ def main():
         if args.method == "auto":
             pallas_value, _ = try_pallas_subprocess(args, polygon_order,
                                                     mode="inference")
-        meshes_per_sec, _ = measure_inference(hier, args.batch_size,
-                                              args.steps, infer_method,
-                                              args.precision,
-                                              polygon_order=polygon_order,
-                                              compute_dtype=args.compute_dtype)
+        try:
+            meshes_per_sec, _ = measure_inference(
+                hier, args.batch_size, args.steps, infer_method,
+                args.precision, polygon_order=polygon_order,
+                compute_dtype=args.compute_dtype)
+        except Exception as exc:
+            if pallas_value is None:
+                raise
+            # same degradation as train mode (see there)
+            print(f"auto-mode local {infer_method} leg failed "
+                  f"({type(exc).__name__}: {exc}); reporting the pallas "
+                  f"subprocess result", file=sys.stderr)
+            meshes_per_sec = pallas_value
         if pallas_value is not None and pallas_value > meshes_per_sec:
             meshes_per_sec = pallas_value
         baseline = None
@@ -689,13 +707,36 @@ def main():
     want_parity = (bool(args.emit_parity)
                    or (args.method == "auto" and args.mode == "train"))
     parity = {} if want_parity else None
-    meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
-                                       args.warmup, method,
-                                       args.precision,
-                                       polygon_order=polygon_order,
-                                       scan=args.scan,
-                                       compute_dtype=args.compute_dtype,
-                                       model_type=model_type, parity=parity)
+    local_leg_failed = None
+    try:
+        meshes_per_sec, loss = measure_jax(hier, args.batch_size, args.steps,
+                                           args.warmup, method,
+                                           args.precision,
+                                           polygon_order=polygon_order,
+                                           scan=args.scan,
+                                           compute_dtype=args.compute_dtype,
+                                           model_type=model_type,
+                                           parity=parity)
+    except Exception as exc:
+        if pallas_result is None:
+            raise
+        # Auto mode already holds a pallas number measured in its OWN
+        # process, so a local-leg death degrades to reporting that number
+        # without the loss cross-check instead of losing the whole bench.
+        # Known instance: the 80k ell leg at bs32 reproducibly crashes the
+        # TPU worker mid-scan ("kernel fault"; the same config compiles,
+        # and bs4 completes — a size-dependent runtime fault in the big
+        # [B, 80k, deg, F] gather, not a static HBM overflow). After a
+        # worker crash this process must not touch the device again;
+        # everything downstream (torch anchor, cost model, JSON) is
+        # host-side.
+        print(f"auto-mode local {method} leg failed "
+              f"({type(exc).__name__}: {exc}); reporting the pallas "
+              f"subprocess result without a cross-check", file=sys.stderr)
+        local_leg_failed = type(exc).__name__
+        meshes_per_sec, loss = pallas_result, pallas_loss
+        pallas_loss = None   # a self-comparison is not a parity check
+        parity = None
     if args.emit_parity and parity:
         np.savez(args.emit_parity, recon=parity["recon"],
                  grad_norm=parity["grad_norm"], loss=parity["loss"])
@@ -725,7 +766,7 @@ def main():
                   f"from dense {loss} (rel {rel:.2e} > {tol})",
                   file=sys.stderr)
 
-    best_method = method
+    best_method = "pallas" if local_leg_failed else method
     if pallas_result is not None and pallas_result > meshes_per_sec:
         meshes_per_sec = pallas_result
         best_method = "pallas"
@@ -762,6 +803,8 @@ def main():
     }
     if compiled_parity is not None:
         result["compiled_pallas_matches_dense"] = compiled_parity
+    if local_leg_failed:
+        result["local_leg_failed"] = local_leg_failed
     if recon_delta is not None:
         result["compiled_recon_delta"] = recon_delta
         result["compiled_grad_rel_delta"] = grad_rel_delta

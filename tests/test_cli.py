@@ -179,3 +179,63 @@ class TestPlotLosses:
             capture_output=True, text=True)
         assert proc.returncode == 0, proc.stderr
         assert os.path.getsize(out_png) > 10_000
+
+
+class TestBenchAutoDegradation:
+    """bench.py auto mode must survive a local-comparison-leg crash.
+
+    The 80k ell leg reproducibly kills the TPU worker mid-scan (XLA gather
+    fault at [B, 80k, deg, F]); the pallas number was already measured in
+    its own subprocess, so the bench degrades to reporting it without the
+    loss cross-check rather than dying with no JSON line."""
+
+    def _run_main(self, monkeypatch, capsys, local_fails):
+        import types
+
+        sys.path.insert(0, REPO)
+        try:
+            import bench
+        finally:
+            sys.path.pop(0)
+        import meshvae_tpu.mesh.hierarchy as hierarchy_mod
+
+        fake_hier = types.SimpleNamespace(levels=[4998, 1250, 313, 79, 20])
+        monkeypatch.setattr(hierarchy_mod, "load_or_build_hierarchy",
+                            lambda template, factors: fake_hier)
+        monkeypatch.setattr(
+            bench, "try_pallas_subprocess",
+            lambda args, polygon_order, mode="train": (123.4, 1.5))
+
+        if local_fails:
+            def measure(*a, **k):
+                raise RuntimeError("TPU worker process crashed")
+        else:
+            def measure(*a, **k):
+                parity = k.get("parity")
+                if parity is not None:
+                    parity.update(recon=np.zeros((2, 3), np.float32),
+                                  grad_norm=1.0, loss=1.5)
+                return 50.0, 1.5
+        monkeypatch.setattr(bench, "measure_jax", measure)
+        monkeypatch.setattr(bench, "step_cost_model",
+                            lambda *a, **k: (1e9, 1e8))
+        monkeypatch.setattr(sys, "argv",
+                            ["bench.py", "--cpu", "--skip-torch",
+                             "--steps", "2"])
+        bench.main()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(out)
+
+    def test_local_leg_crash_reports_pallas(self, monkeypatch, capsys):
+        rec = self._run_main(monkeypatch, capsys, local_fails=True)
+        assert rec["value"] == 123.4
+        assert rec["local_leg_failed"] == "RuntimeError"
+        # a self-comparison must not masquerade as a dense cross-check
+        assert "compiled_pallas_matches_dense" not in rec
+        assert rec["loss"] == 1.5
+
+    def test_local_leg_ok_keeps_cross_check(self, monkeypatch, capsys):
+        rec = self._run_main(monkeypatch, capsys, local_fails=False)
+        assert rec["value"] == 123.4  # pallas leg wins
+        assert rec["compiled_pallas_matches_dense"] is True
+        assert "local_leg_failed" not in rec
