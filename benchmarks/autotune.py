@@ -125,17 +125,26 @@ def main():
         return fwd_scan
 
     def make_grad_scan(tag):
+        # Differentiate wrt (w, x): a w-only grad never runs the dx
+        # adjoint recurrence (dW is one wide contraction over the basis
+        # residual), which is where the backward-path knobs
+        # (FUSED_SEED_DOT, the fused reverse recurrence) actually live —
+        # a w-only sweep measures them as pure noise.
         def grad_scan(xx, ww):
             def loss(w_, t):
                 out = cheb_conv(t, op0, w_, None, method="pallas",
                                 precision=prec)
                 return jnp.sum(jnp.square(out.astype(jnp.float32)))
 
-            def step(w_, _):
-                l, gw = jax.value_and_grad(loss)(w_, xx)
-                return w_ + gw.astype(w_.dtype) * 1e-9, None
-            wN, _ = jax.lax.scan(step, ww, jnp.arange(S))
-            return jnp.sum(wN.astype(jnp.float32))
+            def step(carry, _):
+                w_, x_ = carry
+                l, (gw, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    w_, x_)
+                return (w_ + gw.astype(w_.dtype) * 1e-9,
+                        x_ + gx.astype(x_.dtype) * 1e-9), None
+            (wN, xN), _ = jax.lax.scan(step, (ww, xx), jnp.arange(S))
+            return jnp.sum(wN.astype(jnp.float32)) + jnp.sum(
+                xN.astype(jnp.float32)) * 1e-9
         grad_scan.__name__ = f"grad_scan_{tag}"
         return grad_scan
 

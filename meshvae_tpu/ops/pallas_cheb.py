@@ -75,9 +75,13 @@ FUSED_BWD = bool(int(__import__("os").environ.get(
 # instead of a standalone XLA dot — eliminating, per order, one full
 # read of gm and one write of c_j through HBM. Only square mixes
 # (f_pad == f_out, f dividing the 128-column panel) fuse; others keep
-# the standalone dot. Default OFF until the in-kernel reshape's Mosaic
-# lowering is proven on hardware (interpret-mode tests don't validate
-# it); MESHVAE_FUSED_SEED_DOT=1 enables for A/B.
+# the standalone dot. Default OFF — hardware-DISPROVEN in round 3: at
+# the shipping panel width Mosaic cannot lower the in-kernel reshape
+# ("infer-vector-layout: unsupported shape cast" on
+# vector<128x2048xbf16> -> vector<16384x16xbf16>, v5e libtpu 2026-08),
+# so any dx-carrying model fails to compile with it on. Interpret mode
+# (tests) and narrower shapes still execute the math; the flag stays as
+# an A/B knob for future Mosaic versions.
 FUSED_SEED_DOT = bool(int(__import__("os").environ.get(
     "MESHVAE_FUSED_SEED_DOT", "0")))
 
