@@ -123,17 +123,41 @@ def fetch(value) -> np.ndarray:
     return np.asarray(value)
 
 
+VERTEX_KEYS = ("x", "original")  # batch arrays carrying a vertex dim
+
+
+def vertex_dim_shardable(arr, mesh: Mesh, axis: int) -> bool:
+    """True when `arr`'s vertex axis can shard evenly over "sp"."""
+    sp = int(mesh.shape.get("sp", 1))
+    return (sp > 1 and getattr(arr, "ndim", 0) > axis
+            and arr.shape[axis] % sp == 0)
+
+
 def shard_batch(batch: dict, mesh: Mesh | None) -> dict:
     """Device-put every array in the batch with its batch axis sharded over
     dp (plain jnp upload when mesh is None). Batch sizes must be divisible
     by the dp axis size. The single batch-sharding helper behind the
-    Trainer, CreconTrainer, and InferenceEngine upload paths."""
+    Trainer, CreconTrainer, and InferenceEngine upload paths.
+
+    Vertex-shaped arrays ([B, N, 3]: "x"/"original") additionally shard
+    their vertex axis over "sp" when it divides — the sp-sharded step
+    consumes them vertex-sharded, and GSPMD cannot convert batch-sharded
+    -> vertex-sharded efficiently (it replicates then re-slices, warning
+    "involuntary full rematerialization"). Staging in the consumer's
+    layout avoids that; with sp=1 the spec degenerates to P("dp")."""
     import jax.numpy as jnp
 
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in batch.items()}
     sharding = batch_sharding(mesh)
-    return {k: put_sharded(np.asarray(v), sharding) for k, v in batch.items()}
+    vert = NamedSharding(mesh, P("dp", "sp"))
+    return {
+        k: put_sharded(
+            np.asarray(v),
+            vert if k in VERTEX_KEYS and vertex_dim_shardable(v, mesh, 1)
+            else sharding)
+        for k, v in batch.items()
+    }
 
 
 def replicate_tree(tree, mesh: Mesh | None):

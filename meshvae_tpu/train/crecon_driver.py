@@ -181,8 +181,18 @@ class CreconTrainer:
 
             from ..parallel.sharding import put_sharded
 
+            from ..parallel.sharding import vertex_dim_shardable
+
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            return {k: put_sharded(v, sh) for k, v in stacked.items()}
+            # x [S, B, N, 3] stages 2-D-sharded (vertices over sp) so the
+            # sp-sharded step never pays GSPMD's involuntary full
+            # rematerialization converting batch-sharded -> vertex-sharded
+            # (see Trainer.stage_batches); sp=1 degenerates to `sh`.
+            sh_vert = NamedSharding(self.mesh, P(None, "dp", "sp"))
+            return {k: put_sharded(
+                v, sh_vert if k == "x"
+                and vertex_dim_shardable(v, self.mesh, 2) else sh)
+                for k, v in stacked.items()}
         return {k: jnp.asarray(v) for k, v in stacked.items()}
 
     def run_epoch(self, params, opt_state, vae_params, loader, train: bool,

@@ -339,7 +339,24 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
-            staged = {k: put_sharded(v, sh) for k, v in stacked.items()}
+            # Vertex-shaped arrays [S, B, N, 3] stage 2-D-sharded (batch
+            # over dp AND vertices over sp): the sp-sharded step consumes
+            # them with the vertex dim sharded, and GSPMD cannot convert
+            # batch-sharded -> vertex-sharded efficiently (it emits an
+            # "involuntary full rematerialization" — replicate, then
+            # re-slice — once per scanned epoch/eval compile). Staging in
+            # the consumer's layout removes that (see
+            # parallel.sharding.shard_batch for the per-step analog).
+            from ..parallel.sharding import (VERTEX_KEYS,
+                                             vertex_dim_shardable)
+            sh_vert = NamedSharding(self.mesh, P(None, "dp", "sp"))
+            staged = {
+                k: put_sharded(
+                    v,
+                    sh_vert if k in VERTEX_KEYS
+                    and vertex_dim_shardable(v, self.mesh, 2) else sh)
+                for k, v in stacked.items()
+            }
         else:
             staged = {k: jnp.asarray(v) for k, v in stacked.items()}
         if with_index:
