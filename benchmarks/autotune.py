@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--grouped", default="1",
                     help="comma list of 1/0: sweep the grouped kernel "
                          "(panels then drive GROUP_MAX_PANEL)")
+    ap.add_argument("--group-rows", default="0",
+                    help="comma list for GROUP_ROWS (row-blocks per grid "
+                         "step; 0 = auto, 1 = single-row)")
     ap.add_argument("--components", default="fwd,grad",
                     help="comma list of fwd,grad")
     ap.add_argument("--cpu", action="store_true",
@@ -154,37 +157,42 @@ def main():
     budgets = [int(v) for v in args.budgets.split(",")]
     seed_dots = [bool(int(v)) for v in args.seed_dots.split(",")]
     groupeds = [bool(int(v)) for v in args.grouped.split(",")]
+    group_rows = [int(v) for v in args.group_rows.split(",")]
 
     saved = (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT,
-             pc.GROUPED, pc.GROUP_MAX_PANEL)
+             pc.GROUPED, pc.GROUP_MAX_PANEL, pc.GROUP_ROWS)
     combos = []
     fwd_cache = {}  # FUSED_SEED_DOT is backward-only: fwd depends on
     #                 (grouped, panel, budget) alone — don't pay a ~10 min
     #                 remote compile re-timing an identical forward per sd
     seen = set()
     try:
-        for grouped, panel, budget, sd in itertools.product(
-                groupeds, panels, budgets, seed_dots):
+        for grouped, panel, budget, sd, gr in itertools.product(
+                groupeds, panels, budgets, seed_dots, group_rows):
+            if not grouped:
+                gr = 0  # GROUP_ROWS is dead code off the grouped kernel
             if grouped:
                 # COLMAJOR_VMEM_BUDGET is dead code behind the grouped
                 # kernel — collapse it or every budget value re-compiles
                 # (~10 min each) a byte-identical executable
                 budget = 0
-            if (grouped, panel, budget, sd) in seen:
+            if (grouped, panel, budget, sd, gr) in seen:
                 continue
-            seen.add((grouped, panel, budget, sd))
+            seen.add((grouped, panel, budget, sd, gr))
             pc.GROUPED = grouped
             pc.GROUP_MAX_PANEL = panel
             pc.MAX_PANEL = panel
             pc.COLMAJOR_VMEM_BUDGET = budget
             pc.FUSED_SEED_DOT = sd
+            pc.GROUP_ROWS = gr
             row = {"grouped": grouped, "max_panel": panel,
                    "colmajor_budget": None if grouped else budget,
-                   "fused_seed_dot": sd}
-            tag = f"g{int(grouped)}_p{panel}_b{budget}_sd{int(sd)}"
+                   "fused_seed_dot": sd, "group_rows": gr}
+            tag = f"g{int(grouped)}_p{panel}_b{budget}_sd{int(sd)}_gr{gr}"
             for cmp in want:
-                if cmp == "fwd" and (grouped, panel, budget) in fwd_cache:
-                    row["fwd_ms"] = fwd_cache[(grouped, panel, budget)]
+                if (cmp == "fwd"
+                        and (grouped, panel, budget, gr) in fwd_cache):
+                    row["fwd_ms"] = fwd_cache[(grouped, panel, budget, gr)]
                     continue
                 try:
                     row[f"{cmp}_ms"] = timed(scans[cmp](tag), x, w)
@@ -192,12 +200,12 @@ def main():
                     row[f"{cmp}_ms"] = None
                     row[f"{cmp}_error"] = f"{type(exc).__name__}: {exc}"[:200]
                 if cmp == "fwd":
-                    fwd_cache[(grouped, panel, budget)] = row["fwd_ms"]
+                    fwd_cache[(grouped, panel, budget, gr)] = row["fwd_ms"]
             print(f"  {row}", file=sys.stderr)
             combos.append(row)
     finally:
         (pc.MAX_PANEL, pc.COLMAJOR_VMEM_BUDGET, pc.FUSED_SEED_DOT,
-         pc.GROUPED, pc.GROUP_MAX_PANEL) = saved
+         pc.GROUPED, pc.GROUP_MAX_PANEL, pc.GROUP_ROWS) = saved
 
     report = {
         "workload": {"n0": n0, "batch_size": b, "k": k, "features": f,

@@ -83,6 +83,16 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
     n = coo.shape[0]
     assert coo.shape[0] == coo.shape[1], "square operators only"
     n_pad = -(-n // block) * block
+    # The multi-row grouped kernel (pallas_cheb.GROUP_ROWS) packs R
+    # row-blocks per grid step and needs R to divide the row count; a
+    # prime row count (the 20k template: 157) would force R=1. Pad the
+    # row count to a multiple of 8 when the overhead is negligible
+    # (<=5% extra rows — the padded rows become explicit zero blocks via
+    # the missing-row path below).
+    nr = n_pad // block
+    nr8 = -(-nr // 8) * 8
+    if nr8 > nr and (nr8 - nr) * 20 <= nr:
+        n_pad = nr8 * block
 
     keys = {}
     for r, c, v in zip(coo.row, coo.col, coo.data):

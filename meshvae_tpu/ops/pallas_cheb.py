@@ -346,6 +346,21 @@ GROUP_MAX_PANEL = int(__import__("os").environ.get(
 GROUP_VMEM_BUDGET = int(__import__("os").environ.get(
     "MESHVAE_GROUP_BUDGET", str(12 * 1024 * 1024)))
 
+# Row-blocks per grid step (0 = auto). When the column panel is narrower
+# than GROUP_MAX_PANEL (small batch, or big meshes where B*F is modest),
+# a single-row grid step does too little work to amortize the ~0.45 us
+# per-step cost (pass_probe), so the kernel packs R row-blocks into one
+# step: R*g block-dots, one (R*BLOCK, panel) write. R is chosen so
+# R*panel stays at the measured per-step sweet spot (GROUP_MAX_PANEL
+# columns-equivalent), fits the VMEM budget, divides the row count
+# (block_sparse pads n_rows to a multiple of 8 on big operators so a
+# divisor exists), and keeps the operand count Mosaic-friendly.
+GROUP_ROWS = int(__import__("os").environ.get("MESHVAE_GROUP_ROWS", "0"))
+
+# operand-count ceiling for the multi-row kernel: R*g x-slab refs
+# (doubled in HIGH mode) plus blocks and seeds
+_GROUP_MAX_OPERANDS = 32
+
 
 def _make_grouped_kernel(g, precision, alpha, has_m, has_p, has_pd):
     def _kernel(gcol_ref, l_ref, *rest):
@@ -386,6 +401,74 @@ def _make_grouped_kernel_bf16x3(g, alpha, has_m, has_p):
     return _kernel
 
 
+def _make_multirow_kernel(g, rows, precision, alpha, has_m, has_p):
+    """Grouped kernel processing `rows` output row-blocks per grid step:
+    each row r sums its g block-dots and writes its (BLOCK, panel) slice
+    of the (rows*BLOCK, panel) output block once. Seeds slice the same
+    row range (static, tile-aligned offsets)."""
+
+    def _kernel(gcol_ref, l_ref, *rest):
+        xs, rest = rest[:rows * g], rest[rows * g:]
+        tprev, tplus, _, o_ref = _split_seeds(rest, has_m, has_p)
+        for r in range(rows):
+            contrib = jnp.dot(l_ref[0, r * g], xs[r * g][:],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            for i in range(1, g):
+                contrib += jnp.dot(l_ref[0, r * g + i], xs[r * g + i][:],
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+            sl = pl.ds(r * BLOCK, BLOCK)
+            seed = alpha * contrib
+            if tplus is not None:
+                seed = seed + tplus[sl].astype(jnp.float32)
+            if tprev is not None:
+                seed = seed - tprev[sl].astype(jnp.float32)
+            o_ref[sl] = seed.astype(o_ref.dtype)
+
+    return _kernel
+
+
+def _make_multirow_kernel_bf16x3(g, rows, alpha, has_m, has_p):
+    def _kernel(gcol_ref, lh_ref, ll_ref, *rest):
+        xhs, rest = rest[:rows * g], rest[rows * g:]
+        xls, rest = rest[:rows * g], rest[rows * g:]
+        tprev, tplus, _, o_ref = _split_seeds(rest, has_m, has_p)
+        dot = lambda a, c: jnp.dot(a, c, preferred_element_type=jnp.float32)
+        for r in range(rows):
+            contrib = (dot(lh_ref[0, r * g], xhs[r * g][:])
+                       + (dot(lh_ref[0, r * g], xls[r * g][:])
+                          + dot(ll_ref[0, r * g], xhs[r * g][:])))
+            for i in range(1, g):
+                s = r * g + i
+                contrib += (dot(lh_ref[0, s], xhs[s][:])
+                            + (dot(lh_ref[0, s], xls[s][:])
+                               + dot(ll_ref[0, s], xhs[s][:])))
+            sl = pl.ds(r * BLOCK, BLOCK)
+            seed = alpha * contrib
+            if tplus is not None:
+                seed = seed + tplus[sl].astype(jnp.float32)
+            if tprev is not None:
+                seed = seed - tprev[sl].astype(jnp.float32)
+            o_ref[sl] = seed.astype(o_ref.dtype)
+
+    return _kernel
+
+
+def _pick_group_rows(n_rows, g, panel, high, per_row_bytes):
+    """Largest divisor of n_rows within the work / VMEM / operand caps."""
+    if GROUP_ROWS > 0:
+        cap = GROUP_ROWS
+    else:
+        cap = max(1, min(GROUP_MAX_PANEL // panel,
+                         GROUP_VMEM_BUDGET // max(per_row_bytes, 1)))
+    cap = min(cap, n_rows,
+              _GROUP_MAX_OPERANDS // (g * (2 if high else 1)))
+    if cap <= 1:
+        return 1
+    return max(r for r in range(1, cap + 1) if n_rows % r == 0)
+
+
 def _gather_grouped(blocks, g_idx):
     """[nR, G, B, B] padded operand from the canonical block storage —
     a trace-time gather (CSE'd per program; index num_blocks selects the
@@ -423,37 +506,59 @@ def _grouped_matmul(bsr: BlockSparseOperator, x2d, precision, high,
            <= GROUP_VMEM_BUDGET):
         panel *= 2
 
+    # narrow panels (small B*F) leave each grid step under-worked; pack R
+    # row-blocks per step (see GROUP_ROWS). R=1 reproduces the original
+    # kernel exactly; the seed-dot path (has_pd) keeps R=1.
+    rows_step = 1
+    if not has_pd:
+        per_row_bytes = (BLOCK * panel * 2 * (n_x * xb + ob + seed_b)
+                         + l_bytes)
+        rows_step = _pick_group_rows(n_rows, g, panel, high, per_row_bytes)
+    slots = rows_step * g
+
     def xspec(i, arr_idx_hint=None):
         return pl.BlockSpec((BLOCK, panel),
-                            lambda j, b, gc, i=i: (gc[b * g + i], j),
+                            lambda j, b, gc, i=i: (gc[b * slots + i], j),
                             memory_space=pltpu.VMEM)
 
-    l_spec = lambda: pl.BlockSpec((1, g, BLOCK, BLOCK),
+    l_spec = lambda: pl.BlockSpec((1, slots, BLOCK, BLOCK),
                                   lambda j, b, gc: (b, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
-    seed_spec = lambda: pl.BlockSpec((BLOCK, panel),
+    seed_spec = lambda: pl.BlockSpec((rows_step * BLOCK, panel),
                                      lambda j, b, gc: (b, j),
                                      memory_space=pltpu.VMEM)
+
+    def grouped_l(blocks):
+        gathered = _gather_grouped(blocks, bsr.g_idx)
+        if rows_step == 1:
+            return gathered
+        return gathered.reshape(n_rows // rows_step, slots, BLOCK, BLOCK)
+
     if high:
         assert not has_pd
-        kernel = _make_grouped_kernel_bf16x3(g, alpha, has_m, has_p)
+        kernel = (_make_grouped_kernel_bf16x3(g, alpha, has_m, has_p)
+                  if rows_step == 1 else
+                  _make_multirow_kernel_bf16x3(g, rows_step, alpha, has_m,
+                                               has_p))
         lh = bsr.blocks.astype(jnp.bfloat16)
         ll = (bsr.blocks - lh.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = x2d.astype(jnp.bfloat16)
         xl = (x2d - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        operands = [_gather_grouped(lh, bsr.g_idx),
-                    _gather_grouped(ll, bsr.g_idx)]
-        operands += [xh] * g + [xl] * g
+        operands = [grouped_l(lh), grouped_l(ll)]
+        operands += [xh] * slots + [xl] * slots
         in_specs = [l_spec(), l_spec()]
-        in_specs += [xspec(i) for i in range(g)]
-        in_specs += [xspec(i) for i in range(g)]
+        in_specs += [xspec(i) for i in range(slots)]
+        in_specs += [xspec(i) for i in range(slots)]
         flops = 3 * 2 * n_rows * g * BLOCK * BLOCK * c
     else:
-        kernel = _make_grouped_kernel(g, precision, alpha, has_m, has_p,
-                                      has_pd)
-        operands = [_gather_grouped(bsr.blocks, bsr.g_idx)]
-        operands += [x2d] * g
-        in_specs = [l_spec()] + [xspec(i) for i in range(g)]
+        kernel = (_make_grouped_kernel(g, precision, alpha, has_m, has_p,
+                                       has_pd)
+                  if rows_step == 1 else
+                  _make_multirow_kernel(g, rows_step, precision, alpha,
+                                        has_m, has_p))
+        operands = [grouped_l(bsr.blocks)]
+        operands += [x2d] * slots
+        in_specs = [l_spec()] + [xspec(i) for i in range(slots)]
         flops = 2 * n_rows * g * BLOCK * BLOCK * c
     for seed in (t_prev, t_plus):
         if seed is not None:
@@ -471,9 +576,10 @@ def _grouped_matmul(bsr: BlockSparseOperator, x2d, precision, high,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c // panel, n_rows),
+        grid=(c // panel, n_rows // rows_step),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BLOCK, panel), lambda j, b, gc: (b, j),
+        out_specs=pl.BlockSpec((rows_step * BLOCK, panel),
+                               lambda j, b, gc: (b, j),
                                memory_space=pltpu.VMEM),
     )
     op_b = bsr.blocks.dtype.itemsize if not high else 4
@@ -851,8 +957,13 @@ def _basis_mix_resident(bsr: BlockSparseOperator, xt: jnp.ndarray,
     return f(xt, w2)
 
 
-def _pad_amounts(n: int, b: int, f: int):
-    n_pad = -(-n // BLOCK) * BLOCK
+def _pad_amounts(n: int, b: int, f: int, n_pad: int | None = None):
+    """Row/feature padding for the kernel layout. n_pad defaults to the
+    128-block round-up; callers with a BSR operator pass its n_pad (which
+    may carry extra zero row-blocks for the multi-row grouped kernel)."""
+    if n_pad is None:
+        n_pad = -(-n // BLOCK) * BLOCK
+    assert n_pad >= n and n_pad % BLOCK == 0, (n, n_pad)
     f_pad = f
     while (b * f_pad) % _COL_PANEL != 0:
         f_pad += 1
@@ -871,7 +982,7 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     bsr: BlockSparseOperator = op.bsr
     b, n, f_in = x.shape
     k, _, f_out = weight.shape
-    n_pad, f_pad = _pad_amounts(n, b, f_in)
+    n_pad, f_pad = _pad_amounts(n, b, f_in, n_pad=bsr.n_pad)
 
     from .cheb import resolve_precision
 

@@ -819,3 +819,112 @@ class TestGroupedKernel:
                                            jax.lax.Precision.HIGHEST))
         np.testing.assert_allclose(y[:n], dense @ np.asarray(x)[:n],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMultiRowGrouped:
+    """Multi-row grouped kernel (GROUP_ROWS > 1): R row-blocks per grid
+    step — the narrow-panel regime's answer to the ~0.45us per-step cost
+    (small batch, big meshes). Must equal the single-row grouped kernel
+    across seed combos and precisions, and through full conv grads."""
+
+    @pytest.fixture(scope="class")
+    def wide_graph(self):
+        mesh = make_grid_mesh(32, jitter=0.05)  # 1024 verts -> 8 block-rows
+        adj = vertex_adjacency(mesh.num_vertices, mesh.f)
+        return mesh, adj
+
+    def test_matches_single_row(self, wide_graph):
+        mesh, adj = wide_graph
+        bsr = to_block_sparse(normalized_neg_adjacency(adj))
+        assert bsr.n_pad // BLOCK == 8
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.standard_normal((bsr.n_pad, 256)), jnp.float32)
+        tp = jnp.asarray(rng.standard_normal((bsr.n_pad, 256)), jnp.float32)
+        HI = jax.lax.Precision.HIGHEST
+        cases = [
+            dict(),
+            dict(t_prev=tp, alpha=2.0),
+            dict(t_plus=tp, alpha=2.0),
+        ]
+        old = pc.GROUP_ROWS
+        try:
+            for prec in (HI, jax.lax.Precision.HIGH):
+                for kwargs in cases:
+                    pc.GROUP_ROWS = 1
+                    y1 = np.asarray(pc._bsr_matmul_impl(bsr, x, prec,
+                                                        **kwargs))
+                    for r in (2, 4, 8):
+                        pc.GROUP_ROWS = r
+                        yr = np.asarray(pc._bsr_matmul_impl(bsr, x, prec,
+                                                            **kwargs))
+                        np.testing.assert_allclose(
+                            yr, y1, rtol=1e-5, atol=1e-5,
+                            err_msg=f"R={r} prec={prec} "
+                                    f"kwargs={sorted(kwargs)}")
+        finally:
+            pc.GROUP_ROWS = old
+
+    def test_pick_group_rows_rules(self):
+        # respects divisibility: prime row count -> 1
+        assert pc._pick_group_rows(157, 4, 256, False, 1 << 20) == 1
+        # panel at the sweet spot -> no multi-row (flagship regime)
+        assert pc._pick_group_rows(40, 4, pc.GROUP_MAX_PANEL, False,
+                                   1 << 20) == 1
+        # narrow panel -> largest divisor under the work cap
+        r = pc._pick_group_rows(40, 4, 256, False, 1 << 20)
+        assert r > 1 and 40 % r == 0 and r * 256 <= pc.GROUP_MAX_PANEL
+        # operand ceiling binds in HIGH mode (2x slab refs)
+        r_high = pc._pick_group_rows(40, 4, 256, True, 1 << 20)
+        assert r_high * 4 * 2 <= pc._GROUP_MAX_OPERANDS
+        # VMEM budget binds: huge per-row cost -> 1
+        assert pc._pick_group_rows(40, 4, 128, False,
+                                   pc.GROUP_VMEM_BUDGET) == 1
+
+    def test_row_multiple_padding(self):
+        """Row counts are padded to a multiple of 8 when the overhead is
+        <= 5% (the 20k template's 157 prime rows -> 160), never on small
+        operators, and the padded rows are explicit zero blocks."""
+        n_small = 10 * BLOCK  # 10 rows: 60% overhead, no padding
+        bsr_small = to_block_sparse(sp.eye(n_small, format="csr"))
+        assert bsr_small.n_pad == n_small
+        n_big = 157 * BLOCK  # 1.9% overhead: padded to 160 rows
+        bsr_big = to_block_sparse(sp.eye(n_big, format="csr"))
+        assert bsr_big.n_pad == 160 * BLOCK
+        assert bsr_big.g_idx.shape[0] == 160
+        # padded rows produce zero output
+        x = jnp.ones((bsr_big.n_pad, 128), jnp.float32)
+        y = np.asarray(pc._bsr_matmul_impl(bsr_big, x,
+                                           jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(y[:n_big], 1.0)
+        np.testing.assert_allclose(y[n_big:], 0.0)
+
+    def test_conv_grads_multirow(self, wide_graph):
+        """Full conv value + grads with a forced multi-row kernel vs
+        dense (exercises the fused backward's two-seed multi-row path)."""
+        mesh, adj = wide_graph
+        op = cheb_operator(adj)
+        rng = np.random.default_rng(22)
+        b, f_in, f_out, K = 8, 16, 32, 6
+        x = jnp.asarray(
+            rng.standard_normal((b, op.n, f_in)).astype(np.float32))
+        w = jnp.asarray(
+            (0.1 * rng.standard_normal((K, f_in, f_out))).astype(np.float32))
+
+        def loss(method):
+            def fn(x_, w_):
+                o = cheb_conv(x_, op, w_, None, method=method,
+                              precision=jax.lax.Precision.HIGHEST)
+                return jnp.sum(o ** 2)
+            return fn
+
+        old = pc.GROUP_ROWS
+        try:
+            pc.GROUP_ROWS = 4
+            vp, gp = jax.value_and_grad(loss("pallas"), (0, 1))(x, w)
+        finally:
+            pc.GROUP_ROWS = old
+        vd, gd = jax.value_and_grad(loss("dense"), (0, 1))(x, w)
+        np.testing.assert_allclose(float(vp), float(vd), rtol=1e-5)
+        for a, c_, name in zip(gd, gp, ("dx", "dw")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
+                                       rtol=1e-3, atol=1e-3, err_msg=name)
