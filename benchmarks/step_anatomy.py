@@ -111,6 +111,9 @@ def main():
             if args.components != "all"
             else {"full", "grad", "fwd", "encode", "conv_l0", "spmm_l0",
                   "adam"})
+    # "pools_grad" (opt-in): grad through the full pool/unpool chain,
+    # timed once per TRANSPOSE_GRAD setting — quantifies the scatter-add
+    # backward the precomputed P^T gathers replace (ops/pool.py).
     results = {}
 
     def loss_fn(p, rngs):
@@ -197,6 +200,42 @@ def main():
             tN, _ = jax.lax.scan(step, t0, jnp.arange(S))
             return jnp.sum(tN.astype(jnp.float32))
         results["spmm_l0"] = timed("spmm_l0", spmm_scan, t)
+
+    if "pools_grad" in want:
+        from meshvae_tpu.ops import pool as pool_mod
+        from meshvae_tpu.ops.pool import pool_apply
+        xp = jnp.asarray(rng.standard_normal((b, n0, 16)),
+                         jnp.float32).astype(cfg.dtype)
+
+        def make_pools_grad(tag):
+            def chain(x_):
+                t = x_
+                for p_ in ops.down:
+                    t = pool_apply(t, p_, method="gather")
+                for p_ in reversed(ops.up):
+                    t = pool_apply(t, p_, method="gather")
+                return jnp.sum(jnp.square(t.astype(jnp.float32)))
+
+            def pools_scan(xx):
+                def step(carry, _):
+                    acc, x_ = carry
+                    l, g = jax.value_and_grad(chain)(x_)
+                    return (acc + l, x_ + g.astype(x_.dtype) * 1e-9), None
+                (acc, _), _ = jax.lax.scan(step, (jnp.float32(0.0), xx),
+                                           jnp.arange(S))
+                return acc
+            pools_scan.__name__ = f"pools_scan_{tag}"  # distinct per knob:
+            # jit caches on function identity (CLAUDE.md gotcha 9d)
+            return pools_scan
+
+        for tg in (True, False):
+            old_tg = pool_mod.TRANSPOSE_GRAD
+            pool_mod.TRANSPOSE_GRAD = tg
+            try:
+                results[f"pools_grad_tgrad{int(tg)}"] = timed(
+                    f"pools_t{int(tg)}", make_pools_grad(int(tg)), xp)
+            finally:
+                pool_mod.TRANSPOSE_GRAD = old_tg
 
     if "adam" in want:
         grads = jax.tree_util.tree_map(

@@ -203,6 +203,12 @@ class PoolOperator:
     dense: jnp.ndarray | None   # [M, N] float32 (dense pool path / tests)
     n_in: int = dataclasses.field(metadata=dict(static=True))
     n_out: int = dataclasses.field(metadata=dict(static=True))
+    # transpose gather (ELL of P^T): the pool backward dx = P^T @ g as
+    # precomputed weighted gathers — autodiff's VJP of the forward gather
+    # is a scatter-add, which XLA lowers poorly on TPU (sort-based); with
+    # these the backward is gathers both ways (pool.py pool_apply).
+    t_idx: jnp.ndarray | None = None   # [N, T] int32 into output rows
+    t_w: jnp.ndarray | None = None     # [N, T] float32
 
     @property
     def is_selection(self) -> bool:
@@ -218,8 +224,11 @@ def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
     if pool_method in (None, "gather"):
         idx_np, w_np = _to_ell(csr, pad_self=False)
         idx, w = jnp.asarray(idx_np), jnp.asarray(w_np, dtype=dtype)
+        t_idx_np, t_w_np = _to_ell(sp.csr_matrix(csr.T), pad_self=False)
+        t_idx = jnp.asarray(t_idx_np)
+        t_w = jnp.asarray(t_w_np, dtype=dtype)
     else:
-        idx = w = None
+        idx = w = t_idx = t_w = None
     return PoolOperator(
         idx=idx,
         w=w,
@@ -227,4 +236,6 @@ def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
         if pool_method in (None, "dense") else None,
         n_in=csr.shape[1],
         n_out=csr.shape[0],
+        t_idx=t_idx,
+        t_w=t_w,
     )

@@ -6,13 +6,39 @@ out = P @ x, the math of the reference's `SurfacePool`
 are pure row selections (one-hot rows) -> a single gather; barycentric
 upsampling rows have <= 3 entries -> 3 weighted gathers. A dense-matmul path
 is kept for testing and as an XLA fallback.
+
+The gather path carries a custom VJP: autodiff's transpose of a gather is
+a scatter-add, which XLA lowers through a sort on TPU — measured as the
+dominant backward-glue cost of the small-batch train step (8 pools per
+forward, each a full-activation scatter in the backward). The backward
+instead applies the precomputed ELL form of P^T (PoolOperator.t_idx/t_w):
+dx = P^T @ g as weighted gathers, exactly the same sums in a
+deterministic, MXU/VPU-friendly form.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from .cheb import resolve_precision
 from .graph import PoolOperator
+
+# A/B knob: 0 restores autodiff's scatter-add backward (same math).
+TRANSPOSE_GRAD = bool(int(os.environ.get("MESHVAE_POOL_TGRAD", "1")))
+
+
+def _gather_apply(x: jnp.ndarray, idx: jnp.ndarray,
+                  w: jnp.ndarray) -> jnp.ndarray:
+    """sum_d w[:, d] * x[:, idx[:, d]] — padded slots carry weight 0."""
+    if idx.shape[1] == 1:
+        return jnp.take(x, idx[:, 0], axis=1) * w[None, :, 0, None]
+    acc = None
+    for d in range(idx.shape[1]):
+        term = w[None, :, d, None] * jnp.take(x, idx[:, d], axis=1)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
@@ -24,13 +50,19 @@ def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
     if method != "gather":
         raise ValueError(f"unknown pool method: {method}")
 
-    if pool.is_selection:
-        sel = pool.idx[:, 0]
-        gathered = jnp.take(x, sel, axis=1)
-        return gathered * pool.w[None, :, 0, None]
+    if pool.t_idx is None or not TRANSPOSE_GRAD:
+        return _gather_apply(x, pool.idx, pool.w)  # autodiff backward
 
-    acc = None
-    for d in range(pool.idx.shape[1]):
-        term = pool.w[None, :, d, None] * jnp.take(x, pool.idx[:, d], axis=1)
-        acc = term if acc is None else acc + term
-    return acc
+    @jax.custom_vjp
+    def apply(x_):
+        return _gather_apply(x_, pool.idx, pool.w)
+
+    def fwd(x_):
+        return apply(x_), None
+
+    def bwd(_, g):
+        return (_gather_apply(g, pool.t_idx,
+                              pool.t_w).astype(x.dtype),)
+
+    apply.defvjp(fwd, bwd)
+    return apply(x)

@@ -153,6 +153,44 @@ class TestPool:
         expected = np.einsum("mn,bnf->bmf", u.toarray(), np.asarray(x))
         np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-5, atol=2e-5)
 
+    def test_gather_backward_matches_dense(self):
+        """The gather path's custom VJP (precomputed P^T gathers instead
+        of autodiff's scatter-add) must produce the exact dense-path
+        gradient for both selection and barycentric matrices."""
+        rng = np.random.default_rng(7)
+        mats = [
+            sp.csr_matrix((np.ones(3), ([0, 1, 2], [4, 0, 2])),
+                          shape=(3, 6)),                       # selection D
+            sp.csr_matrix((rng.random(15),
+                           (np.repeat(np.arange(5), 3),
+                            rng.integers(0, 4, size=15))),
+                          shape=(5, 4)),                       # barycentric U
+        ]
+        for mat in mats:
+            pool = pool_operator(mat)
+            assert pool.t_idx is not None
+            x = jnp.asarray(
+                rng.standard_normal((2, mat.shape[1], 3)).astype(np.float32))
+            g_out = jnp.asarray(
+                rng.standard_normal((2, mat.shape[0], 3)).astype(np.float32))
+
+            def loss(method):
+                def fn(x_):
+                    out = pool_apply(x_, pool, method=method,
+                                     precision=jax.lax.Precision.HIGHEST)
+                    return jnp.sum(out * g_out)
+                return fn
+
+            gg = jax.grad(loss("gather"))(x)
+            gd = jax.grad(loss("dense"))(x)
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gd),
+                                       rtol=2e-5, atol=2e-5)
+            # the backward really is P^T @ g
+            expected = np.einsum("mn,bmf->bnf", mat.toarray(),
+                                 np.asarray(g_out))
+            np.testing.assert_allclose(np.asarray(gg), expected,
+                                       rtol=2e-5, atol=2e-5)
+
 
 class TestQuirkFastPath:
     def test_active_corner_fast_path_matches_full(self, grid_mesh):
