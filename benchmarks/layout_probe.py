@@ -67,7 +67,7 @@ def main():
 
     rng = np.random.default_rng(0)
     b, n, k, f = args.batch_size, hier.levels[0], args.polygon_order, 16
-    n_pad, f_pad = pc._pad_amounts(n, b, f)
+    n_pad, f_pad = pc._pad_amounts(n, b, f, n_pad=bsr.n_pad)
     w = jnp.asarray(0.1 * rng.standard_normal((k, f, f)), state_dtype)
     x_bm = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)\
         .astype(state_dtype)                      # batch-major model layout

@@ -167,7 +167,9 @@ def cheb_conv_fused(x: jnp.ndarray, op, weight: jnp.ndarray,
     b, n, f_in = x.shape
     k = weight.shape[0]
     f_out = weight.shape[2]
-    n_pad = -(-n // BLOCK) * BLOCK
+    # the operator's padding, not roundup(n, BLOCK): to_block_sparse may
+    # carry extra zero row-blocks for the multi-row grouped kernel
+    n_pad = bsr.n_pad
     f_pad = _pad_feature(b, f_in)
     f_out_pad = _pad_feature(b, f_out)
     prec = resolve_precision(precision)

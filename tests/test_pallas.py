@@ -928,3 +928,45 @@ class TestMultiRowGrouped:
         for a, c_, name in zip(gd, gp, ("dx", "dw")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c_),
                                        rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+class TestRowPaddedOperators:
+    """Operators whose BSR row count was padded to a multiple of 8 (the
+    multi-row grouped kernel's divisor rule) must stay correct through
+    every kernel entry point that computes its own layout from the
+    operator — the fused design-record kernel regressed here once by
+    recomputing roundup(n, BLOCK) instead of using bsr.n_pad."""
+
+    def _padded_op(self):
+        # 141 block-rows (prime-ish, 2.1% overhead) -> padded to 144
+        n = 141 * BLOCK
+        lap = sp.eye(n, format="csr") * 0.5
+        bsr = to_block_sparse(lap)
+        assert bsr.n_pad == 144 * BLOCK
+        return n, lap, bsr
+
+    def test_fused_kernel_padded_rows(self):
+        from meshvae_tpu.ops.graph import GraphOperator
+        from meshvae_tpu.ops.pallas_fused import cheb_conv_fused
+
+        n, lap, bsr = self._padded_op()
+        op = GraphOperator(dense=None, ell_idx=None, ell_w=None, bsr=bsr,
+                           n=n)
+        rng = np.random.default_rng(31)
+        b, f, k = 1, 8, 2
+        x = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((k, f, f)), jnp.float32)
+        got = cheb_conv_fused(x, op, w, None,
+                              precision=jax.lax.Precision.HIGHEST)
+        # L = 0.5 I: out = x @ W0 + 0.5 x @ W1 everywhere, incl. the
+        # last real row-block (the regression corrupted rows past
+        # n - BLOCK via clamped out-of-range output indices)
+        expected = np.asarray(x) @ np.asarray(w[0]) \
+            + 0.5 * np.asarray(x) @ np.asarray(w[1])
+        np.testing.assert_allclose(np.asarray(got), expected,
+                                   rtol=1e-5, atol=1e-5)
+        # and the backward path pads consistently (used to assert)
+        g = jax.grad(lambda x_: jnp.sum(
+            cheb_conv_fused(x_, op, w, None,
+                            precision=jax.lax.Precision.HIGHEST) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
