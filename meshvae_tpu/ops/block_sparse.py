@@ -76,12 +76,19 @@ class BlockSparseOperator:
 
 
 def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
-                    dtype=jnp.float32) -> BlockSparseOperator:
+                    dtype=jnp.float32,
+                    allow_rect: bool = False) -> BlockSparseOperator:
     """dtype=bfloat16 halves the operator's HBM streaming (the kernel still
-    accumulates in f32 via preferred_element_type)."""
+    accumulates in f32 via preferred_element_type).
+
+    allow_rect builds a rectangular operator (output rows local, input
+    columns independent — the same shape contract as pallas_shard's row
+    shards): n_pad covers the rows, n_pad_cols the columns. Used for the
+    pool-backward P^T operators (ops/pool.py)."""
     coo = sp.coo_matrix(mat)
     n = coo.shape[0]
-    assert coo.shape[0] == coo.shape[1], "square operators only"
+    if not allow_rect:
+        assert coo.shape[0] == coo.shape[1], "square operators only"
     n_pad = -(-n // block) * block
     # The multi-row grouped kernel (pallas_cheb.GROUP_ROWS) packs R
     # row-blocks per grid step and needs R to divide the row count; a
@@ -158,6 +165,7 @@ def to_block_sparse(mat: sp.spmatrix, block: int = BLOCK,
         first=jnp.asarray(first),
         n=n,
         n_pad=n_pad,
+        n_pad_cols=(-(-coo.shape[1] // block) * block if allow_rect else -1),
         col_order=jnp.asarray(col_order),
         block_row_c=jnp.asarray(block_row[col_order]),
         block_col_c=jnp.asarray(block_col[col_order]),

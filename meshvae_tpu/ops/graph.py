@@ -18,6 +18,7 @@ Everything is a pytree of jnp arrays: safe to close over or pass through jit.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import scipy.sparse as sp
@@ -26,6 +27,13 @@ import jax
 import jax.numpy as jnp
 
 from .block_sparse import BlockSparseOperator, to_block_sparse
+
+# Pool-backward layout cutoff: P^T fan-ins at or below this run as
+# unrolled ELL gathers; above it (hub coarse vertices) the backward runs
+# P^T through the block-sparse SpMM kernel instead — T unrolled
+# full-size gathers lose to the kernel well before T=61 (the 80k
+# template's up-pool, measured 2.5x off the whole train step).
+TGRAD_ELL_MAX = int(os.environ.get("MESHVAE_POOL_TGRAD_ELL_MAX", "16"))
 
 
 def normalized_neg_adjacency(adjacency: sp.spmatrix) -> sp.csr_matrix:
@@ -209,6 +217,13 @@ class PoolOperator:
     # these the backward is gathers both ways (pool.py pool_apply).
     t_idx: jnp.ndarray | None = None   # [N, T] int32 into output rows
     t_w: jnp.ndarray | None = None     # [N, T] float32
+    # High-fan-in transposes (hub coarse vertices: the 80k template's
+    # up-pools reach T=61) would unroll T full-size gathers — worse than
+    # the scatter they replace. Above TGRAD_ELL_MAX the backward instead
+    # runs P^T through the block-sparse SpMM kernel (rectangular
+    # operator, pallas_cheb._bsr_matmul_impl), like every other sparse
+    # product in the model.
+    t_bsr: object | None = None        # BlockSparseOperator of P^T
 
     @property
     def is_selection(self) -> bool:
@@ -221,14 +236,21 @@ def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
     if pool_method not in (None, "gather", "dense"):
         raise ValueError(f"unknown pool method: {pool_method}")
     csr = sp.csr_matrix(mat)
+    idx = w = t_idx = t_w = t_bsr = None
     if pool_method in (None, "gather"):
         idx_np, w_np = _to_ell(csr, pad_self=False)
         idx, w = jnp.asarray(idx_np), jnp.asarray(w_np, dtype=dtype)
-        t_idx_np, t_w_np = _to_ell(sp.csr_matrix(csr.T), pad_self=False)
+        csr_t = sp.csr_matrix(csr.T)
+        t_maxdeg = int(np.diff(csr_t.indptr).max()) if csr_t.shape[0] else 0
+        # ELL transpose always (the fallback when the kernel path is
+        # unavailable: CPU without interpret mode, vertex-sharded
+        # operators); the BSR transpose additionally above the fan-in
+        # cutoff, where unrolled gathers stop paying
+        t_idx_np, t_w_np = _to_ell(csr_t, pad_self=False)
         t_idx = jnp.asarray(t_idx_np)
         t_w = jnp.asarray(t_w_np, dtype=dtype)
-    else:
-        idx = w = t_idx = t_w = None
+        if t_maxdeg > TGRAD_ELL_MAX:
+            t_bsr = to_block_sparse(csr_t, dtype=dtype, allow_rect=True)
     return PoolOperator(
         idx=idx,
         w=w,
@@ -238,4 +260,5 @@ def pool_operator(mat: sp.spmatrix, dtype=jnp.float32,
         n_out=csr.shape[0],
         t_idx=t_idx,
         t_w=t_w,
+        t_bsr=t_bsr,
     )

@@ -41,6 +41,40 @@ def _gather_apply(x: jnp.ndarray, idx: jnp.ndarray,
     return acc
 
 
+def _bsr_transpose_apply(g: jnp.ndarray, t_bsr, out_n: int,
+                         out_dtype) -> jnp.ndarray:
+    """dx = P^T @ g through the block-sparse SpMM kernel (rectangular
+    operator: output rows = pool inputs, columns = pool outputs)."""
+    from .pallas_cheb import _bsr_matmul_impl
+
+    b, n_out, f = g.shape
+    f_pad = f
+    while (b * f_pad) % 128 != 0:
+        f_pad += 1
+    gt = jnp.transpose(g, (1, 0, 2)).astype(t_bsr.blocks.dtype)
+    gt = jnp.pad(gt, ((0, t_bsr.n_pad_cols - n_out), (0, 0),
+                      (0, f_pad - f)))
+    # bf16 blocks accumulate f32 on the MXU already; HIGHEST (fp32
+    # contract precision) on bf16 operands does not lower on Mosaic
+    # ("Bad lhs type") — resolve_precision(None) would default there
+    prec = (jax.lax.Precision.HIGHEST
+            if t_bsr.blocks.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = _bsr_matmul_impl(t_bsr, gt.reshape(t_bsr.n_pad_cols, b * f_pad),
+                         precision=prec)
+    y = y.reshape(t_bsr.n_pad, b, f_pad)[:out_n, :, :f]
+    return jnp.transpose(y, (1, 0, 2)).astype(out_dtype)
+
+
+def _use_kernel_transpose() -> bool:
+    """The BSR transpose backward needs the Pallas kernel: real TPUs
+    always qualify; the CPU backend only under interpret mode (tests).
+    Otherwise the backward falls back to ELL gathers / autodiff."""
+    from . import pallas_cheb
+
+    return jax.default_backend() == "tpu" or pallas_cheb.INTERPRET
+
+
 def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
                precision=None) -> jnp.ndarray:
     """x: [B, N_in, F] -> [B, N_out, F]."""
@@ -50,7 +84,9 @@ def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
     if method != "gather":
         raise ValueError(f"unknown pool method: {method}")
 
-    if pool.t_idx is None or not TRANSPOSE_GRAD:
+    use_bsr = (pool.t_bsr is not None and x.shape[0] * x.shape[2] >= 128
+               and _use_kernel_transpose())
+    if not TRANSPOSE_GRAD or (pool.t_idx is None and not use_bsr):
         return _gather_apply(x, pool.idx, pool.w)  # autodiff backward
 
     @jax.custom_vjp
@@ -61,6 +97,9 @@ def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
         return apply(x_), None
 
     def bwd(_, g):
+        if use_bsr:
+            return (_bsr_transpose_apply(g, pool.t_bsr, pool.n_in,
+                                         x.dtype),)
         return (_gather_apply(g, pool.t_idx,
                               pool.t_w).astype(x.dtype),)
 

@@ -234,8 +234,19 @@ def _shard_bsr_operators(ops, mesh: Mesh, sp: int):
                                    bsr_sp=shard_block_sparse(op.bsr, sp),
                                    mesh=mesh)
 
+    def strip_pool_bsr(p):
+        # the pool backward's P^T kernel is a plain pallas_call — under
+        # vertex sharding it would sit un-shard_mapped in the GSPMD
+        # graph; drop it so pool_apply falls back to the (shardable)
+        # ELL-transpose gathers
+        if getattr(p, "t_bsr", None) is None:
+            return p
+        return dataclasses.replace(p, t_bsr=None)
+
     return dataclasses.replace(
         ops,
         lap=tuple(convert(o) for o in ops.lap),
         lap_final=convert(ops.lap_final),
+        down=tuple(strip_pool_bsr(p) for p in ops.down),
+        up=tuple(strip_pool_bsr(p) for p in ops.up),
     )

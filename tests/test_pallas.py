@@ -970,3 +970,69 @@ class TestRowPaddedOperators:
             cheb_conv_fused(x_, op, w, None,
                             precision=jax.lax.Precision.HIGHEST) ** 2))(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestPoolKernelTransposeGrad:
+    """High-fan-in pool transposes (> graph.TGRAD_ELL_MAX) run their
+    backward dx = P^T @ g through the rectangular block-sparse kernel
+    instead of unrolled ELL gathers (ops/pool.py). Gradients must equal
+    the dense path exactly."""
+
+    def test_high_fanin_backward_matches_dense(self):
+        from meshvae_tpu.ops.graph import TGRAD_ELL_MAX, pool_operator
+        from meshvae_tpu.ops.pool import pool_apply
+
+        rng = np.random.default_rng(41)
+        n_fine, n_coarse = 300, 40
+        rows = np.repeat(np.arange(n_fine), 3)
+        cols = rng.integers(0, n_coarse, size=3 * n_fine)
+        u = sp.csr_matrix((rng.random(3 * n_fine), (rows, cols)),
+                          shape=(n_fine, n_coarse))
+        pool = pool_operator(u)
+        # fan-in exceeds the ELL cutoff -> kernel-transpose layout built
+        # (the ELL transpose stays as the sharded/CPU fallback)
+        assert pool.t_idx is not None and pool.t_bsr is not None
+        assert int(np.diff(sp.csr_matrix(u.T).indptr).max()) > TGRAD_ELL_MAX
+        b, f = 8, 16  # b*f = 128: panel-aligned
+        x = jnp.asarray(rng.standard_normal((b, n_coarse, f)), jnp.float32)
+        g_out = jnp.asarray(rng.standard_normal((b, n_fine, f)), jnp.float32)
+
+        def loss(method):
+            def fn(x_):
+                out = pool_apply(x_, pool, method=method,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return jnp.sum(out * g_out)
+            return fn
+
+        gg = jax.grad(loss("gather"))(x)  # interpret-mode kernel backward
+        gd = jax.grad(loss("dense"))(x)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gd),
+                                   rtol=2e-5, atol=2e-5)
+        expected = np.einsum("mn,bmf->bnf", u.toarray(), np.asarray(g_out))
+        np.testing.assert_allclose(np.asarray(gg), expected,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_small_batch_falls_back(self):
+        """b*f below one column panel: the kernel path is skipped and the
+        backward still matches dense (autodiff scatter fallback)."""
+        from meshvae_tpu.ops.graph import pool_operator
+        from meshvae_tpu.ops.pool import pool_apply
+
+        rng = np.random.default_rng(42)
+        rows = np.repeat(np.arange(100), 3)
+        cols = rng.integers(0, 5, size=300)
+        u = sp.csr_matrix((rng.random(300), (rows, cols)), shape=(100, 5))
+        pool = pool_operator(u)
+        assert pool.t_bsr is not None
+        x = jnp.asarray(rng.standard_normal((2, 5, 3)), jnp.float32)
+
+        def fn(x_):
+            return jnp.sum(pool_apply(x_, pool) ** 2)
+
+        def fd(x_):
+            return jnp.sum(pool_apply(x_, pool, method="dense",
+                           precision=jax.lax.Precision.HIGHEST) ** 2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(fn)(x)),
+                                   np.asarray(jax.grad(fd)(x)),
+                                   rtol=2e-5, atol=2e-5)
