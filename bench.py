@@ -108,23 +108,33 @@ def measure_jax(hier, batch_size, steps, warmup, method, precision,
         parity.update(recon=recon, grad_norm=grad_norm, loss=ploss)
 
     if scan:
-        # Whole measurement window in one device dispatch (epoch-scan path)
-        # on a device-staged dataset: the batches upload ONCE outside the
-        # timed window and each epoch reshuffles on device — how the train
-        # driver actually runs (stage_batches), so this measures the real
-        # per-epoch cost rather than the relay's ~50MB/s host->device
-        # shipment.
+        # Measurement window = E pipelined scanned epochs on a device-staged
+        # dataset: batches upload ONCE outside the window, each epoch
+        # reshuffles on device, and epoch N's metrics are fetched only
+        # AFTER epoch N+1 is dispatched — exactly how the train driver runs
+        # (stage_batches + pipeline_epochs), so the per-epoch relay
+        # round-trips (~25ms each) overlap device compute instead of
+        # serializing with it.
         staged = trainer.stage_batches([dict(host_batch)
                                         for _ in range(steps)])
-        params, opt_state, _ = trainer.train_epoch_scanned(
+        params, opt_state, packed = trainer.train_epoch_scanned_async(
             params, opt_state, staged, key, mean, std,
-            shuffle_key=jax.random.key(7))  # compile + first pull
+            shuffle_key=jax.random.key(7))  # compile
+        trainer.finalize_train_metrics(packed)  # first pull
+        epochs = 4
         t0 = time.perf_counter()
-        params, opt_state, avg = trainer.train_epoch_scanned(
-            params, opt_state, staged, key, mean, std,
-            shuffle_key=jax.random.key(8))
+        packed = None
+        avg = None
+        for e in range(epochs):
+            params, opt_state, nxt = trainer.train_epoch_scanned_async(
+                params, opt_state, staged, key, mean, std,
+                shuffle_key=jax.random.key(8 + e))
+            if packed is not None:
+                avg = trainer.finalize_train_metrics(packed)
+            packed = nxt
+        avg = trainer.finalize_train_metrics(packed)
         dt = time.perf_counter() - t0
-        return batch_size * steps / dt, float(avg["loss"])
+        return batch_size * steps * epochs / dt, float(avg["loss"])
 
     # NOTE: jax.block_until_ready does NOT await device completion on this
     # experimental backend — a host value fetch is the only reliable sync.

@@ -3,13 +3,18 @@
 The headline bench (bench.py) gives one number for the whole train step;
 this tool decomposes it so kernel work is aimed at the actual bottleneck:
 
-  full      fwd + bwd + Adam (the real step, minus metrics packing)
-  grad      fwd + bwd only (no optimizer)
-  fwd       forward loss only
-  encode    the 4-level encoder conv stack only
-  conv_l0   ONE level-0 ChebConv forward (the hot op at full resolution)
-  spmm_l0   ONE level-0 SpMM propagation (the kernel alone)
-  adam      optimizer.update + apply_updates with fixed gradients
+  full       fwd + bwd + Adam (the real step, minus metrics packing)
+  step_real  the Trainer's ACTUAL _train_step_impl incl. the pose-error
+             metric chain and packing — full's delta to this is the
+             metrics tax the bench step pays
+  pose_error the metric chain alone (denorm + inverse Procrustes +
+             per-vertex error + packing)
+  grad       fwd + bwd only (no optimizer)
+  fwd        forward loss only
+  encode     the 4-level encoder conv stack only
+  conv_l0    ONE level-0 ChebConv forward (the hot op at full resolution)
+  spmm_l0    ONE level-0 SpMM propagation (the kernel alone)
+  adam       optimizer.update + apply_updates with fixed gradients
 
 Every component runs as a jitted lax.scan of --iters iterations over
 device-resident data (one dispatch, one host pull), timed best-of-two
@@ -111,8 +116,8 @@ def main():
 
     want = (set(args.components.split(","))
             if args.components != "all"
-            else {"full", "grad", "fwd", "encode", "conv_l0", "spmm_l0",
-                  "adam"})
+            else {"full", "step_real", "pose_error", "grad", "fwd",
+                  "encode", "conv_l0", "spmm_l0", "adam"})
     # "pools_grad" (opt-in): grad through the full pool/unpool chain,
     # timed once per TRANSPOSE_GRAD setting — quantifies the scatter-add
     # backward the precomputed P^T gathers replace (ops/pool.py).
@@ -137,6 +142,41 @@ def main():
             (_, _), losses = jax.lax.scan(step, (p, o), jnp.arange(S))
             return losses[-1]
         results["full"] = timed("full", full_scan, params, opt_state)
+
+    if "step_real" in want or "pose_error" in want:
+        # the real step needs the pose-transform fields the loader carries
+        full_batch = dict(batch)
+        full_batch["r"] = jnp.asarray(rng.standard_normal((b, 3, 3)),
+                                      jnp.float32)
+        full_batch["s"] = jnp.ones((b,), jnp.float32)
+        full_batch["m"] = jnp.zeros((b, 1, 3), jnp.float32)
+        full_batch["original"] = jnp.asarray(
+            rng.standard_normal((b, n0, 3)), jnp.float32)
+        nm = jnp.zeros((n0, 3), jnp.float32)
+        ns = jnp.ones((n0, 3), jnp.float32)
+
+    if "step_real" in want:
+        def step_real_scan(p, o):
+            def step(carry, i):
+                p, o = carry
+                p, o, metrics = trainer._train_step_impl(
+                    p, o, full_batch, jax.random.fold_in(key, i), nm, ns,
+                    ops)
+                return (p, o), metrics[0]
+            (_, _), losses = jax.lax.scan(step, (p, o), jnp.arange(S))
+            return losses[-1]
+        results["step_real"] = timed("step_real", step_real_scan, params,
+                                     opt_state)
+
+    if "pose_error" in want:
+        def pose_scan(x0):
+            def step(x_, _):
+                # chain iterations through the timed tensor (gotcha 9b)
+                _, err = trainer._pose_error(x_, full_batch, nm, ns)
+                return x_ * (1.0 + 1e-12 * jnp.mean(err)), None
+            xN, _ = jax.lax.scan(step, x0, jnp.arange(S))
+            return jnp.sum(xN)
+        results["pose_error"] = timed("pose_error", pose_scan, batch["x"])
 
     if "grad" in want:
         def grad_scan(p):

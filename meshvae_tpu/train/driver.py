@@ -189,6 +189,13 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
             best_loss = float("inf")
             epoch_rng = jax.random.key(seed * 1000 + n)
             scan = bool(config.get("scan_epoch", True))
+            # epoch pipelining (scan mode): dispatch epoch N+1's train+eval
+            # scans BEFORE fetching epoch N's metrics, so the ~25ms-per-
+            # round-trip relay latency of the fetches overlaps device
+            # compute instead of serializing with it (2-3 round trips per
+            # epoch otherwise). Checkpoint decisions run one epoch late,
+            # from an on-device snapshot taken before donation.
+            pipeline = scan and bool(config.get("pipeline_epochs", True))
             if scan:
                 # one upload per fold; epochs reshuffle on device instead of
                 # re-shipping batches through the host->device relay
@@ -196,33 +203,20 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                 staged_valid = trainer.stage_batches(valid_loader) or []
                 shuffle_rng = jax.random.key(seed * 7919 + n)
 
-            for epoch in range(start_epoch, total_epochs + 1):
-                begin = time.time()
-                lr = lr_for_epoch(epoch, base_lr, config["learning_rates"],
-                                  config["learning_rates_epochs"])
-                opt_state = set_learning_rate(opt_state, lr)
+            pending = None
 
-                with maybe_profile(config.get("profile_dir"), epoch):
-                    if scan:
-                        params, opt_state, train_avg = (
-                            trainer.train_epoch_scanned(
-                                params, opt_state, staged_train,
-                                jax.random.fold_in(epoch_rng, epoch), mean,
-                                std,
-                                shuffle_key=jax.random.fold_in(shuffle_rng,
-                                                               epoch)))
-                    else:
-                        params, opt_state, train_avg = trainer.train_epoch(
-                            params, opt_state, train_loader,
-                            jax.random.fold_in(epoch_rng, epoch), mean, std)
-                if scan:
-                    valid_avg, errors = trainer.evaluate_scanned(
-                        params, staged_valid, mean, std)
-                else:
-                    valid_avg, errors = trainer.evaluate(params, valid_loader,
-                                                         mean, std)
-                mean_val_error = float(errors.mean()) if errors.size else 0.0
-                duration = time.time() - begin
+            def consume_pending(next_begin=None):
+                """Finalize the in-flight epoch: fetch its metrics, run the
+                NaN halt / best-val checkpoint / history logic."""
+                nonlocal best_loss, pending
+                if pending is None:
+                    return
+                p, pending = pending, None
+                epoch = p["epoch"]
+                train_avg, (valid_avg, mean_val_error) = (p["train_thunk"](),
+                                                          p["valid_thunk"]())
+                duration = (next_begin if next_begin is not None
+                            else time.time()) - p["begin"]
 
                 if not (np.isfinite(train_avg["loss"])
                         and np.isfinite(valid_avg["loss"])):
@@ -236,7 +230,7 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                     log.print(msg)
                     # keep the failing epoch in the flushed history so the
                     # post-mortem tools can see where it blew up
-                    history.append(history_record(epoch, begin, duration,
+                    history.append(history_record(epoch, p["begin"], duration,
                                                   train_avg, valid_avg,
                                                   mean_val_error))
                     write_history(checkpoint_dir, n, history)
@@ -254,18 +248,68 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                     # unlike the reference (which stores the fold number in
                     # epoch_num, main.py:279), store the real epoch so
                     # resume restarts where the checkpoint was taken
-                    save_checkpoint(checkpoint_path(checkpoint_dir, n), params,
-                                    opt_state, epoch, train_avg["loss"],
-                                    valid_avg["loss"])
+                    ck_params, ck_opt = p["snapshot"]
+                    save_checkpoint(checkpoint_path(checkpoint_dir, n),
+                                    ck_params, ck_opt, epoch,
+                                    train_avg["loss"], valid_avg["loss"])
                     best_loss = valid_avg["loss"]
 
-                history.append(history_record(epoch, begin, duration,
+                history.append(history_record(epoch, p["begin"], duration,
                                               train_avg, valid_avg,
                                               mean_val_error))
                 if epoch % 10 == 0:
                     log.print(epoch_line(epoch, train_avg, valid_avg,
                                          mean_val_error))
 
+            for epoch in range(start_epoch, total_epochs + 1):
+                begin = time.time()
+                lr = lr_for_epoch(epoch, base_lr, config["learning_rates"],
+                                  config["learning_rates_epochs"])
+                opt_state = set_learning_rate(opt_state, lr)
+
+                with maybe_profile(config.get("profile_dir"), epoch):
+                    if scan:
+                        params, opt_state, packed = (
+                            trainer.train_epoch_scanned_async(
+                                params, opt_state, staged_train,
+                                jax.random.fold_in(epoch_rng, epoch), mean,
+                                std,
+                                shuffle_key=jax.random.fold_in(shuffle_rng,
+                                                               epoch)))
+                    else:
+                        params, opt_state, train_avg = trainer.train_epoch(
+                            params, opt_state, train_loader,
+                            jax.random.fold_in(epoch_rng, epoch), mean, std)
+                if scan:
+                    eval_pending = trainer.evaluate_scanned_async(
+                        params, staged_valid, mean, std)
+                    # the checkpoint copy must exist before the NEXT epoch's
+                    # scan donates these buffers (one extra device dispatch)
+                    snapshot = (trainer.snapshot((params, opt_state))
+                                if pipeline else (params, opt_state))
+                    train_thunk = (lambda pk=packed:
+                                   trainer.finalize_train_metrics(pk))
+
+                    def valid_thunk(ep=eval_pending):
+                        avg, _ = trainer.finalize_eval_scanned(
+                            ep, with_errors=False)
+                        return avg, float(avg.get("error", 0.0))
+                else:
+                    valid_avg, errors = trainer.evaluate(params, valid_loader,
+                                                         mean, std)
+                    mve = float(errors.mean()) if errors.size else 0.0
+                    snapshot = (params, opt_state)
+                    train_thunk = (lambda ta=train_avg: ta)
+                    valid_thunk = (lambda va=valid_avg, e=mve: (va, e))
+
+                consume_pending(next_begin=begin)
+                pending = {"epoch": epoch, "begin": begin,
+                           "train_thunk": train_thunk,
+                           "valid_thunk": valid_thunk, "snapshot": snapshot}
+                if not pipeline:
+                    consume_pending()
+
+            consume_pending()
             write_history(checkpoint_dir, n, history)
 
         if do_test:

@@ -150,6 +150,22 @@ class Trainer:
             self._ops_on_device = ops
         self._aot = {}  # multi-process AOT executables (see _call_synced)
 
+        def _clone(x):
+            if x.dtype == jnp.bool_:
+                return jnp.logical_or(x, False)
+            return x + jnp.zeros((), x.dtype)
+
+        # ONE dispatch that returns fresh device buffers for a pytree: the
+        # epoch pipeline (train/driver.py) checkpoints from this copy after
+        # the originals were donated into the NEXT epoch's scan
+        self._snapshot_fn = jax.jit(
+            lambda t: jax.tree_util.tree_map(_clone, t))
+
+    def snapshot(self, tree):
+        """On-device copy of a pytree (one dispatch, ~params-sized) whose
+        buffers survive later donation of the originals."""
+        return self._snapshot_fn(tree)
+
     def _call_synced(self, jit_fn, cache_key, *args):
         return call_synced(jit_fn, self._aot, cache_key, *args)
 
@@ -255,6 +271,10 @@ class Trainer:
             aux["correct"].astype(jnp.float32),
             mask.sum(),
             sc_correct,
+            # per-mesh-mean pose error, summed over the batch: lets the
+            # validation path average errors WITHOUT fetching the full
+            # [S, B, N] tensor through the relay every epoch
+            (err.mean(axis=-1) * mask).sum(),
         ] + [jnp.asarray(s, jnp.float32) for s in self._extra_scalars(aux)])
         return {
             "scalars": scalars,            # [6]: loss,kld,rec,correct,count,sc
@@ -336,6 +356,8 @@ class Trainer:
         if not batch_list:
             return None
         stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
+        mask_host = stacked["mask"]  # kept host-side: saves the per-epoch
+        # mask fetch (a ~25ms relay round-trip) in evaluate_scanned
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))
@@ -359,25 +381,32 @@ class Trainer:
             }
         else:
             staged = {k: jnp.asarray(v) for k, v in stacked.items()}
+        staged["mask_host"] = mask_host
         if with_index:
             staged["index"] = np.stack([b["index"] for b in batch_list])
         return staged
 
-    def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
-                            norm_std, shuffle_key=None):
-        """train_epoch with the whole epoch in ONE device dispatch
-        (lax.scan over stacked batches). Identical math and metrics; one
-        recompile per distinct number-of-batches. `loader` is either a
-        host batch iterable or the device-staged dict from stage_batches;
-        shuffle_key (optional) re-draws the batch composition on device."""
+    # host-side staging keys that must never reach a jitted call
+    _HOST_KEYS = ("index", "mask_host")
+
+    def train_epoch_scanned_async(self, params, opt_state, loader, rng,
+                                  norm_mean, norm_std, shuffle_key=None):
+        """Dispatch one scanned train epoch WITHOUT fetching its metrics:
+        returns (params, opt_state, packed) where `packed` is the [S, 6]
+        per-step metrics array still on device (None for an empty loader).
+        Pass it to finalize_train_metrics later — dispatching the next
+        epoch (and/or the eval scan) first hides the ~25ms-per-round-trip
+        relay latency behind device compute (the epoch pipeline,
+        train/driver.py)."""
         if isinstance(loader, dict):
-            stacked = {k: v for k, v in loader.items() if k != "index"}
+            stacked = {k: v for k, v in loader.items()
+                       if k not in self._HOST_KEYS}
         else:
             stacked = self.stage_batches(loader)
         if stacked is None:
-            return params, opt_state, {"loss": 0.0, "kld": 0.0,
-                                       "rec_loss": 0.0, "error": 0.0,
-                                       "accuracy": 0.0, "count": 0.0}
+            return params, opt_state, None
+        stacked = {k: v for k, v in stacked.items()
+                   if k not in self._HOST_KEYS}
         n_samples = int(np.prod(stacked["mask"].shape[:2]))
         if shuffle_key is not None:
             perm = jax.random.permutation(shuffle_key, n_samples)
@@ -392,7 +421,15 @@ class Trainer:
             self._train_scan_fn, ("train_scan", stacked["mask"].shape),
             params, opt_state, stacked, perm, rng, norm_mean, norm_std,
             self._ops_on_device)
+        return params, opt_state, packed
 
+    @staticmethod
+    def finalize_train_metrics(packed) -> dict:
+        """Fetch + reduce a train scan's packed [S, 6] metrics (the ONE
+        device->host pull of the epoch)."""
+        if packed is None:
+            return {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0, "error": 0.0,
+                    "accuracy": 0.0, "count": 0.0}
         arr = fetch(packed).astype(np.float64)      # [S, 6], ONE pull
         metrics = {k: arr[:, i] for i, k in enumerate(METRIC_NAMES)}
         counts = metrics["count"]
@@ -403,7 +440,19 @@ class Trainer:
         }
         avg["accuracy"] = float(metrics["correct"].sum()) / max(total, 1.0)
         avg["count"] = total
-        return params, opt_state, avg
+        return avg
+
+    def train_epoch_scanned(self, params, opt_state, loader, rng, norm_mean,
+                            norm_std, shuffle_key=None):
+        """train_epoch with the whole epoch in ONE device dispatch
+        (lax.scan over stacked batches). Identical math and metrics; one
+        recompile per distinct number-of-batches. `loader` is either a
+        host batch iterable or the device-staged dict from stage_batches;
+        shuffle_key (optional) re-draws the batch composition on device."""
+        params, opt_state, packed = self.train_epoch_scanned_async(
+            params, opt_state, loader, rng, norm_mean, norm_std,
+            shuffle_key=shuffle_key)
+        return params, opt_state, self.finalize_train_metrics(packed)
 
     def _eval_scan_impl(self, params, batches, norm_mean, norm_std, ops,
                         collect: bool = False):
@@ -417,32 +466,23 @@ class Trainer:
         _, outs = jax.lax.scan(body, None, batches)
         return outs
 
-    def evaluate_scanned(self, params, loader, norm_mean, norm_std,
-                         collect_meshes: bool = False):
-        """evaluate() as one device dispatch + a handful of device->host
-        pulls (scalars [S, 6], errors [S, B, N]; with collect_meshes also
-        the recon/oppo mesh stacks — instead of evaluate()'s ~5 pulls *per
-        batch* at ~25 ms each through the relay).
-        `loader` is a host batch iterable or a stage_batches dict (staged
-        with with_index=True when collect_meshes)."""
+    def evaluate_scanned_async(self, params, loader, norm_mean, norm_std,
+                               collect_meshes: bool = False):
+        """Dispatch the eval scan WITHOUT fetching its outputs. Returns an
+        opaque dict for finalize_eval_scanned (None for an empty loader) —
+        the epoch-pipeline analog of train_epoch_scanned_async."""
         if isinstance(loader, dict):
             stacked = loader
         else:
             stacked = self.stage_batches(loader, with_index=collect_meshes)
-        empty = ({"loss": 0.0, "kld": 0.0, "rec_loss": 0.0,
-                  "accuracy": 0.0, "sex_change_success_rate": 0.0,
-                  "count": 0.0}, np.zeros((0, 1)))
         if stacked is None:
-            if collect_meshes:
-                return empty + ({k: np.zeros((0,)) for k in
-                                 ("recon", "oppo", "oppo_pred", "oppo_label",
-                                  "index")},)
-            return empty
+            return None
         index = stacked.get("index")
         if collect_meshes and index is None:
             raise ValueError("collect_meshes needs a loader or a dict from "
                              "stage_batches(..., with_index=True)")
-        device_batches = {k: v for k, v in stacked.items() if k != "index"}
+        device_batches = {k: v for k, v in stacked.items()
+                          if k not in self._HOST_KEYS}
         params = self.maybe_replicate(params)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
@@ -451,8 +491,29 @@ class Trainer:
             else self._eval_scan_fn,
             ("eval_scan", device_batches["mask"].shape, collect_meshes),
             params, device_batches, norm_mean, norm_std, self._ops_on_device)
-        sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 6]
-        err = fetch(outs["errors"])                            # [S, B, N]
+        return {"outs": outs, "index": index, "collect": collect_meshes,
+                "mask_host": stacked.get("mask_host"),
+                "mask_dev": device_batches["mask"]}
+
+    _EVAL_EMPTY = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0, "error": 0.0,
+                   "accuracy": 0.0, "sex_change_success_rate": 0.0,
+                   "count": 0.0}
+
+    def finalize_eval_scanned(self, pending, with_errors: bool = True):
+        """Fetch + reduce a dispatched eval scan. with_errors=False skips
+        the [S, B, N] per-vertex error fetch entirely (the driver's
+        per-epoch validation needs only the mean, which rides in the
+        packed scalars) — at 5k vertices that tensor is ~0.3 MB per batch
+        through a ~50 MB/s relay, by far the largest eval pull."""
+        if pending is None:
+            avg = dict(self._EVAL_EMPTY)
+            for name in self.extra_scalar_names:
+                avg[name] = 0.0
+            if pending is None and with_errors:
+                return avg, np.zeros((0, 1))
+            return avg, None
+        outs = pending["outs"]
+        sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 7+]
         counts = sc[:, 4]
         total = float(counts.sum())
         avg = {
@@ -461,29 +522,53 @@ class Trainer:
             "rec_loss": float((sc[:, 2] * counts).sum()) / max(total, 1.0),
             "accuracy": float(sc[:, 3].sum()) / max(total, 1.0),
             "sex_change_success_rate": float(sc[:, 5].sum()) / max(total, 1.0),
+            "error": float(sc[:, 6].sum()) / max(total, 1.0),
             "count": total,
         }
         for i, name in enumerate(self.extra_scalar_names):
-            avg[name] = float(sc[:, 6 + i].sum()) / max(total, 1.0)
-        mask = fetch(device_batches["mask"]) > 0               # [S, B]
+            avg[name] = float(sc[:, 7 + i].sum()) / max(total, 1.0)
+        if not with_errors and not pending["collect"]:
+            return avg, None
+        mask_host = pending["mask_host"]
+        mask = ((np.asarray(mask_host) if mask_host is not None
+                 else fetch(pending["mask_dev"])) > 0)          # [S, B]
+        err = fetch(outs["errors"])                            # [S, B, N]
         errors = err[mask]                                     # [valid, N]
-        if collect_meshes:
+        if pending["collect"]:
             meshes = {
                 "recon": fetch(outs["recon_orig"])[mask],
                 "oppo": fetch(outs["oppo_orig"])[mask],
                 "oppo_pred": fetch(outs["oppo_pred"])[mask],
                 "oppo_label": fetch(outs["oppo_label"])[mask],
-                "index": np.asarray(index)[mask],
+                "index": np.asarray(pending["index"])[mask],
             }
             return avg, errors, meshes
         return avg, errors
+
+    def evaluate_scanned(self, params, loader, norm_mean, norm_std,
+                         collect_meshes: bool = False):
+        """evaluate() as one device dispatch + a handful of device->host
+        pulls (scalars [S, 7+], errors [S, B, N]; with collect_meshes also
+        the recon/oppo mesh stacks — instead of evaluate()'s ~5 pulls *per
+        batch* at ~25 ms each through the relay).
+        `loader` is a host batch iterable or a stage_batches dict (staged
+        with with_index=True when collect_meshes)."""
+        pending = self.evaluate_scanned_async(params, loader, norm_mean,
+                                              norm_std,
+                                              collect_meshes=collect_meshes)
+        result = self.finalize_eval_scanned(pending, with_errors=True)
+        if collect_meshes and pending is None:
+            return result + ({k: np.zeros((0,)) for k in
+                              ("recon", "oppo", "oppo_pred", "oppo_label",
+                               "index")},)
+        return result
 
     def evaluate(self, params, loader, norm_mean, norm_std,
                  collect_meshes: bool = False):
         """Full-dataset eval; returns averages + concatenated per-vertex error
         matrix + sex-change success rate (+ meshes if requested)."""
         totals = {"loss": 0.0, "kld": 0.0, "rec_loss": 0.0}
-        correct = sc_correct = count = 0.0
+        correct = sc_correct = count = err_sum = 0.0
         extra = [0.0] * len(self.extra_scalar_names)
         errors = []
         meshes = {"recon": [], "oppo": [], "oppo_pred": [], "oppo_label": [],
@@ -499,8 +584,9 @@ class Trainer:
                 totals[k] += float(sc[i]) * n
             correct += float(sc[3])
             sc_correct += float(sc[5])
+            err_sum += float(sc[6])
             for i in range(len(extra)):
-                extra[i] += float(sc[6 + i])
+                extra[i] += float(sc[7 + i])
             count += n
             keep = np.asarray(batch["mask"]) > 0
             errors.append(fetch(out["errors"])[keep])
@@ -513,6 +599,7 @@ class Trainer:
         avg = {k: v / max(count, 1.0) for k, v in totals.items()}
         avg["accuracy"] = correct / max(count, 1.0)
         avg["sex_change_success_rate"] = sc_correct / max(count, 1.0)
+        avg["error"] = err_sum / max(count, 1.0)
         for i, name in enumerate(self.extra_scalar_names):
             avg[name] = extra[i] / max(count, 1.0)
         avg["count"] = count

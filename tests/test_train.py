@@ -358,3 +358,72 @@ class TestScanPaths:
             shuffle_key=jax.random.key(3))
         assert avg_shuf["count"] == avg_ref["count"]
         assert np.isfinite(avg_shuf["loss"])
+
+
+class TestEpochPipeline:
+    """The driver's epoch pipeline (pipeline_epochs, train/driver.py)
+    defers each epoch's metric fetches until the next epoch is dispatched
+    and checkpoints from an on-device snapshot. It must be a pure latency
+    optimization: identical history metrics and an identical best
+    checkpoint vs the synchronous path."""
+
+    def _run_driver(self, root, pipeline: bool):
+        from meshvae_tpu.train.driver import run
+        from conftest import make_grid_mesh
+
+        os.makedirs(root, exist_ok=True)
+        template = make_grid_mesh(6, jitter=0.05)
+        template_path = os.path.join(root, "template.obj")
+        save_obj(template_path, template.v, template.f)
+        data_dir = os.path.join(root, "data")
+        generate_synthetic_dataset(template, data_dir, n_samples=8, seed=3)
+        config = default_config()
+        config.update({
+            "checkpoint_dir": os.path.join(root, "ckpt"),
+            "template": template_path,
+            "root_dir": data_dir,
+            "log_file": os.path.join(root, "ckpt", "log.txt"),
+            "folds": 2,
+            "test_size": 0.25,
+            "n_layers": 2,
+            "num_hidden": 8,
+            "num_style": 4,
+            "downsampling_factors": [2, 2],
+            "polygon_order": [3, 3, 3],
+            "num_conv_filters": [4, 8, 8],
+            "batch_size": 4,
+            "epoch": 3,
+            "hierarchy_cache_dir": os.path.join(root, "cache"),
+            "pipeline_epochs": pipeline,
+        })
+        run(config, do_train=True, do_test=False)
+        hist_path = os.path.join(config["checkpoint_dir"], "history1.json")
+        with open(hist_path) as f:
+            history = json.load(f)
+        from meshvae_tpu.train.checkpoint import load_checkpoint
+        from meshvae_tpu.train.driver import build_model_and_ops, make_trainer
+
+        model, ops, _, _ = build_model_and_ops(config)
+        trainer = make_trainer(config, model, ops)
+        init = trainer.init_params(jax.random.key(int(config["random_seeds"])))
+        ckpt = load_checkpoint(
+            os.path.join(config["checkpoint_dir"], "checkpoint_1.msgpack"),
+            init, trainer.init_opt_state(init))
+        return history, ckpt
+
+    def test_pipeline_matches_synchronous(self, tmp_path):
+        hist_p, ckpt_p = self._run_driver(str(tmp_path / "pipe"), True)
+        hist_s, ckpt_s = self._run_driver(str(tmp_path / "sync"), False)
+        assert len(hist_p) == len(hist_s) == 3
+        for rp, rs in zip(hist_p, hist_s):
+            for k in ("loss", "kld", "reconstruction_loss", "accuracy",
+                      "error"):
+                for split in ("training", "validation"):
+                    if k in rp[split]:
+                        assert rp[split][k] == pytest.approx(
+                            rs[split][k], rel=1e-6), (k, split)
+        assert ckpt_p["epoch_num"] == ckpt_s["epoch_num"]
+        for a, b in zip(jax.tree_util.tree_leaves(ckpt_p["params"]),
+                        jax.tree_util.tree_leaves(ckpt_s["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
