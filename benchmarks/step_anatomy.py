@@ -47,9 +47,10 @@ def main():
     ap.add_argument("--polygon-order", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--components", default="all",
-                    help="comma list: full,grad,fwd,encode,conv_l0,spmm_l0,"
-                         "adam, plus opt-in pools_grad (pool-chain grad, "
-                         "timed per TRANSPOSE_GRAD setting)")
+                    help="comma list: full,step_real,pose_error,grad,fwd,"
+                         "encode,conv_l0,spmm_l0,adam, plus opt-in "
+                         "pools_grad (pool-chain grad, timed per "
+                         "TRANSPOSE_GRAD setting)")
     args = ap.parse_args()
 
     if args.cpu:

@@ -29,8 +29,8 @@ from ..parallel.sharding import make_device_mesh
 from .checkpoint import (checkpoint_path, load_checkpoint, load_params,
                          save_checkpoint, save_params)
 from .loop import Trainer, lr_for_epoch, set_learning_rate
-from .metrics import (RunLog, epoch_line, history_record, maybe_profile,
-                      write_history)
+from .metrics import (RunLog, epoch_line, history_record, is_profiled,
+                      maybe_profile, write_history)
 
 
 def build_model_and_ops(config: dict, dtype=None):
@@ -205,7 +205,7 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
 
             pending = None
 
-            def consume_pending(next_begin=None):
+            def consume_pending():
                 """Finalize the in-flight epoch: fetch its metrics, run the
                 NaN halt / best-val checkpoint / history logic."""
                 nonlocal best_loss, pending
@@ -215,8 +215,10 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                 epoch = p["epoch"]
                 train_avg, (valid_avg, mean_val_error) = (p["train_thunk"](),
                                                           p["valid_thunk"]())
-                duration = (next_begin if next_begin is not None
-                            else time.time()) - p["begin"]
+                # measured after the blocking metric fetch so it covers the
+                # epoch's device execution; with pipelining, consecutive
+                # durations overlap by the next epoch's dispatch time
+                duration = time.time() - p["begin"]
 
                 if not (np.isfinite(train_avg["loss"])
                         and np.isfinite(valid_avg["loss"])):
@@ -243,6 +245,9 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                         raise RuntimeError(
                             msg + hint + " (set halt_on_nonfinite = False "
                             "to keep training through it)")
+                    # record already appended + flushed above — fall out
+                    # before the unconditional append below duplicates it
+                    return
 
                 if valid_avg["loss"] <= best_loss:
                     # unlike the reference (which stores the fold number in
@@ -267,6 +272,10 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                                   config["learning_rates_epochs"])
                 opt_state = set_learning_rate(opt_state, lr)
 
+                # a traced epoch must be consumed inside the trace context:
+                # the pipelined dispatch returns before the device runs, so
+                # an async-only block would capture almost no execution
+                profiled = is_profiled(config.get("profile_dir"), epoch)
                 with maybe_profile(config.get("profile_dir"), epoch):
                     if scan:
                         params, opt_state, packed = (
@@ -276,38 +285,42 @@ def run(config: dict, do_train: bool, do_test: bool, vis: bool = False):
                                 std,
                                 shuffle_key=jax.random.fold_in(shuffle_rng,
                                                                epoch)))
+                        # light variant: per-epoch validation needs only the
+                        # per-mesh-mean error in the packed scalars, so the
+                        # [S, B, N] error stack is never materialized
+                        eval_pending = trainer.evaluate_scanned_async(
+                            params, staged_valid, mean, std,
+                            with_errors=False)
+                        # the checkpoint copy must exist before the NEXT
+                        # epoch's scan donates these buffers (one extra
+                        # device dispatch)
+                        snapshot = (trainer.snapshot((params, opt_state))
+                                    if pipeline else (params, opt_state))
+                        train_thunk = (lambda pk=packed:
+                                       trainer.finalize_train_metrics(pk))
+
+                        def valid_thunk(ep=eval_pending):
+                            avg, _ = trainer.finalize_eval_scanned(
+                                ep, with_errors=False)
+                            return avg, float(avg.get("error", 0.0))
                     else:
                         params, opt_state, train_avg = trainer.train_epoch(
                             params, opt_state, train_loader,
                             jax.random.fold_in(epoch_rng, epoch), mean, std)
-                if scan:
-                    eval_pending = trainer.evaluate_scanned_async(
-                        params, staged_valid, mean, std)
-                    # the checkpoint copy must exist before the NEXT epoch's
-                    # scan donates these buffers (one extra device dispatch)
-                    snapshot = (trainer.snapshot((params, opt_state))
-                                if pipeline else (params, opt_state))
-                    train_thunk = (lambda pk=packed:
-                                   trainer.finalize_train_metrics(pk))
+                        valid_avg, errors = trainer.evaluate(
+                            params, valid_loader, mean, std)
+                        mve = float(errors.mean()) if errors.size else 0.0
+                        snapshot = (params, opt_state)
+                        train_thunk = (lambda ta=train_avg: ta)
+                        valid_thunk = (lambda va=valid_avg, e=mve: (va, e))
 
-                    def valid_thunk(ep=eval_pending):
-                        avg, _ = trainer.finalize_eval_scanned(
-                            ep, with_errors=False)
-                        return avg, float(avg.get("error", 0.0))
-                else:
-                    valid_avg, errors = trainer.evaluate(params, valid_loader,
-                                                         mean, std)
-                    mve = float(errors.mean()) if errors.size else 0.0
-                    snapshot = (params, opt_state)
-                    train_thunk = (lambda ta=train_avg: ta)
-                    valid_thunk = (lambda va=valid_avg, e=mve: (va, e))
-
-                consume_pending(next_begin=begin)
-                pending = {"epoch": epoch, "begin": begin,
-                           "train_thunk": train_thunk,
-                           "valid_thunk": valid_thunk, "snapshot": snapshot}
-                if not pipeline:
                     consume_pending()
+                    pending = {"epoch": epoch, "begin": begin,
+                               "train_thunk": train_thunk,
+                               "valid_thunk": valid_thunk,
+                               "snapshot": snapshot}
+                    if not pipeline or profiled:
+                        consume_pending()
 
             consume_pending()
             write_history(checkpoint_dir, n, history)

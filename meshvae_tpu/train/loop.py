@@ -136,13 +136,21 @@ class Trainer:
         self._train_scan_fn = jax.jit(self._train_scan_impl,
                                       donate_argnums=(0, 1))
         self._eval_step_fn = jax.jit(self._eval_step_impl)
-        # two pre-bound variants instead of a static `collect` argument: the
+        # three pre-bound variants instead of static arguments: the
         # multi-process path executes AOT-compiled objects (call_synced),
-        # which accept only traced arguments
+        # which accept only traced arguments. The "light" variant drops the
+        # [S, B, N] per-vertex error stack from the outputs entirely (XLA
+        # then DCEs its materialization) — the driver's per-epoch validation
+        # needs only the per-mesh-mean error that rides in the packed
+        # scalars, and with the epoch pipeline two epochs of that stack
+        # would otherwise sit in HBM at once.
         self._eval_scan_fn = jax.jit(
             functools.partial(self._eval_scan_impl, collect=False))
         self._eval_scan_collect_fn = jax.jit(
             functools.partial(self._eval_scan_impl, collect=True))
+        self._eval_scan_light_fn = jax.jit(
+            functools.partial(self._eval_scan_impl, collect=False,
+                              with_errors=False))
         if mesh is not None:
             from ..parallel.sharding import shard_operators
             self._ops_on_device = shard_operators(ops, mesh)
@@ -277,7 +285,7 @@ class Trainer:
             (err.mean(axis=-1) * mask).sum(),
         ] + [jnp.asarray(s, jnp.float32) for s in self._extra_scalars(aux)])
         return {
-            "scalars": scalars,            # [6]: loss,kld,rec,correct,count,sc
+            "scalars": scalars,            # [7+]: loss,kld,rec,correct,count,sc,err_mean(,extras) — indexed by finalize_eval_scanned/evaluate
             "errors": err,                 # [B, N] per-vertex original-pose error
             "recon_orig": recon_orig,      # [B, N, 3]
             "oppo_orig": oppo_orig,        # [B, N, 3]
@@ -398,11 +406,8 @@ class Trainer:
         epoch (and/or the eval scan) first hides the ~25ms-per-round-trip
         relay latency behind device compute (the epoch pipeline,
         train/driver.py)."""
-        if isinstance(loader, dict):
-            stacked = {k: v for k, v in loader.items()
-                       if k not in self._HOST_KEYS}
-        else:
-            stacked = self.stage_batches(loader)
+        stacked = loader if isinstance(loader, dict) else \
+            self.stage_batches(loader)
         if stacked is None:
             return params, opt_state, None
         stacked = {k: v for k, v in stacked.items()
@@ -455,9 +460,11 @@ class Trainer:
         return params, opt_state, self.finalize_train_metrics(packed)
 
     def _eval_scan_impl(self, params, batches, norm_mean, norm_std, ops,
-                        collect: bool = False):
+                        collect: bool = False, with_errors: bool = True):
         keep = (("scalars", "errors", "recon_orig", "oppo_orig", "oppo_pred",
-                 "oppo_label") if collect else ("scalars", "errors"))
+                 "oppo_label") if collect
+                else ("scalars", "errors") if with_errors
+                else ("scalars",))
 
         def body(carry, batch):
             out = self._eval_step_impl(params, batch, norm_mean, norm_std, ops)
@@ -467,10 +474,14 @@ class Trainer:
         return outs
 
     def evaluate_scanned_async(self, params, loader, norm_mean, norm_std,
-                               collect_meshes: bool = False):
+                               collect_meshes: bool = False,
+                               with_errors: bool = True):
         """Dispatch the eval scan WITHOUT fetching its outputs. Returns an
         opaque dict for finalize_eval_scanned (None for an empty loader) —
-        the epoch-pipeline analog of train_epoch_scanned_async."""
+        the epoch-pipeline analog of train_epoch_scanned_async.
+        with_errors=False dispatches the light variant, which never
+        materializes the [S, B, N] error stack on device (finalize must
+        then also be called with with_errors=False)."""
         if isinstance(loader, dict):
             stacked = loader
         else:
@@ -486,10 +497,13 @@ class Trainer:
         params = self.maybe_replicate(params)
         norm_mean = self.maybe_replicate(jnp.asarray(norm_mean))
         norm_std = self.maybe_replicate(jnp.asarray(norm_std))
+        keep_errors = collect_meshes or with_errors
         outs = self._call_synced(
             self._eval_scan_collect_fn if collect_meshes
-            else self._eval_scan_fn,
-            ("eval_scan", device_batches["mask"].shape, collect_meshes),
+            else self._eval_scan_fn if with_errors
+            else self._eval_scan_light_fn,
+            ("eval_scan", device_batches["mask"].shape, collect_meshes,
+             keep_errors),
             params, device_batches, norm_mean, norm_std, self._ops_on_device)
         return {"outs": outs, "index": index, "collect": collect_meshes,
                 "mask_host": stacked.get("mask_host"),
@@ -509,10 +523,12 @@ class Trainer:
             avg = dict(self._EVAL_EMPTY)
             for name in self.extra_scalar_names:
                 avg[name] = 0.0
-            if pending is None and with_errors:
-                return avg, np.zeros((0, 1))
-            return avg, None
+            return (avg, np.zeros((0, 1))) if with_errors else (avg, None)
         outs = pending["outs"]
+        if with_errors and "errors" not in outs:
+            raise ValueError(
+                "eval scan was dispatched with with_errors=False (light "
+                "variant): per-vertex errors were never materialized")
         sc = fetch(outs["scalars"]).astype(np.float64)         # [S, 7+]
         counts = sc[:, 4]
         total = float(counts.sum())

@@ -84,11 +84,20 @@ class RunLog:
             self._fp.close()
 
 
+def is_profiled(profile_dir: str | None, epoch: int,
+                profile_epochs: tuple = (2,)) -> bool:
+    """True when maybe_profile would trace this epoch. The driver uses
+    this to force synchronous metric consumption for traced epochs: with
+    the epoch pipeline, the dispatch alone returns immediately and the
+    trace would otherwise capture almost none of the device execution."""
+    return bool(profile_dir) and epoch in profile_epochs
+
+
 @contextlib.contextmanager
 def maybe_profile(profile_dir: str | None, epoch: int,
                   profile_epochs: tuple = (2,)):
     """Capture a jax.profiler trace for selected epochs when enabled."""
-    if profile_dir and epoch in profile_epochs:
+    if is_profiled(profile_dir, epoch, profile_epochs):
         with jax.profiler.trace(profile_dir):
             yield
     else:

@@ -169,6 +169,11 @@ class TestEndToEnd:
         cfg["checkpoint_dir"] = str(tmp_path / "ckpt2")
         cfg["log_file"] = str(tmp_path / "ckpt2" / "log.txt")
         run(cfg, do_train=True, do_test=False)
+        # each epoch appears exactly once even when its loss was non-finite
+        # (the NaN branch used to append its record a second time)
+        with open(os.path.join(cfg["checkpoint_dir"], "history1.json")) as f:
+            hist = json.load(f)
+        assert [rec["epoch"] for rec in hist] == list(range(1, 5))
 
     def test_overfits_single_batch(self, tiny_env):
         """Optimization sanity: 40 Adam steps on one batch reduce the loss."""
