@@ -56,6 +56,12 @@ def build_model_and_ops(config: dict, dtype=None):
     hier = load_or_build_hierarchy(template, config["downsampling_factors"],
                                    cache_dir=cache_dir,
                                    mode=config.get("hierarchy_mode", "fast"))
+    # preflight BEFORE any device work: device-mesh fit, batch divisibility,
+    # and the measured ELL crash envelope (meshvae_tpu/validate.py) — all
+    # three CLIs route through here
+    from ..validate import validate_config
+
+    validate_config(config, num_nodes=hier.levels)
     ops = build_operators(
         hier, dtype=dtype,
         final_conv_adjacency=config.get("final_conv_adjacency",
