@@ -458,7 +458,11 @@ def _make_multirow_kernel_bf16x3(g, rows, alpha, has_m, has_p):
 def _pick_group_rows(n_rows, g, panel, high, per_row_bytes):
     """Largest divisor of n_rows within the work / VMEM / operand caps."""
     if GROUP_ROWS > 0:
-        cap = GROUP_ROWS
+        # explicit sweep override: bypasses the work heuristic but still
+        # clamps to the VMEM budget — an oversized request must degrade,
+        # not hit Mosaic VMEM exhaustion mid-sweep
+        cap = min(GROUP_ROWS,
+                  max(1, GROUP_VMEM_BUDGET // max(per_row_bytes, 1)))
     else:
         cap = max(1, min(GROUP_MAX_PANEL // panel,
                          GROUP_VMEM_BUDGET // max(per_row_bytes, 1)))
@@ -898,65 +902,6 @@ def _basis_mix(bsr: BlockSparseOperator, xt: jnp.ndarray, w2: jnp.ndarray,
     return f(xt, w2)
 
 
-def _basis_mix_resident(bsr: BlockSparseOperator, xt: jnp.ndarray,
-                        w2: jnp.ndarray, k: int, prec, state_dtype,
-                        op_dtype, panel: int,
-                        input_grad: bool = True) -> jnp.ndarray:
-    """_basis_mix on the whole-recurrence resident kernels
-    (pallas_resident.py): ONE kernel call builds every basis order
-    (operator resident in VMEM, state in rotating VMEM slots, basis
-    emitted order-major so no concatenate copy), and ONE kernel call runs
-    the entire reverse recurrence for dx. The channel mix and the dW
-    contraction stay XLA dots over the stacked basis."""
-    from .pallas_resident import bsr_adjoint, bsr_basis
-
-    n_pad, b, f_pad = xt.shape
-    f_out = w2.shape[-1]
-    c = b * f_pad
-
-    def _forward(xt, w2):
-        basis = bsr_basis(bsr, xt.reshape(n_pad, c), k, prec, panel)
-        basis4 = basis.reshape(k - 1, n_pad, b, f_pad)
-        out = jax.lax.dot_general(
-            xt, w2[0], (((2,), (0,)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-        out = out + jax.lax.dot_general(
-            basis4, w2[1:], (((0, 3), (0, 1)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-        return out, basis4  # [n_pad, b, f_out] f32
-
-    @jax.custom_vjp
-    def f(xt, w2):
-        return _forward(xt, w2)[0]
-
-    def fwd(xt, w2):
-        out, basis4 = _forward(xt, w2)
-        return out, (xt, basis4, w2)
-
-    def bwd(res, g):  # g: [n_pad, b, f_out] f32
-        xt, basis4, w2 = res
-        gm = g.astype(state_dtype)
-        dw0 = jax.lax.dot_general(
-            xt, gm, (((0, 1), (0, 1)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-        dwr = jax.lax.dot_general(
-            basis4, gm, (((1, 2), (0, 1)), ((), ())), precision=prec,
-            preferred_element_type=jnp.float32)
-        dw = jnp.concatenate([dw0[None], dwr]).astype(w2.dtype)
-        if not input_grad:
-            return jnp.zeros((n_pad, b, f_pad), state_dtype), dw
-        # stacked per-order mix cotangents c_j = gm @ W_j^T, then the
-        # whole reverse recurrence in one kernel call
-        cs = jnp.einsum("nbo,kfo->knbf", gm, w2, precision=prec,
-                        preferred_element_type=jnp.float32)
-        dx = bsr_adjoint(bsr, cs.astype(state_dtype).reshape(k, n_pad, c),
-                         prec, panel)
-        return dx.reshape(n_pad, b, f_pad).astype(state_dtype), dw
-
-    f.defvjp(fwd, bwd)
-    return f(xt, w2)
-
-
 def _pad_amounts(n: int, b: int, f: int, n_pad: int | None = None):
     """Row/feature padding for the kernel layout. n_pad defaults to the
     128-block round-up; callers with a BSR operator pass its n_pad (which
@@ -1000,24 +945,18 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     w = jnp.pad(weight.astype(state_dtype),
                 ((0, 0), (0, f_pad - f_in), (0, 0)))
     if FUSED_BWD:
-        from .pallas_resident import resident_plan
-
-        panel = resident_plan(bsr, b * f_pad, state_dtype, prec) \
-            if k >= 2 else None
-        if panel is not None:
-            # whole-recurrence resident kernels: operator + state live in
-            # VMEM across every order, basis/dx in ONE call each
-            out = _basis_mix_resident(bsr, xt, w, k, prec, state_dtype,
-                                      op_dtype, panel,
-                                      input_grad=input_grad)
-        else:
-            # recurrence + stacked mix under ONE custom VJP: the backward
-            # runs the reverse Chebyshev recurrence as fused two-seed
-            # kernel calls (see _basis_mix) instead of autodiff's
-            # per-order kernel + two full-activation elementwise HBM
-            # round-trips.
-            out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype,
-                             input_grad=input_grad)
+        # recurrence + stacked mix under ONE custom VJP: the backward
+        # runs the reverse Chebyshev recurrence as fused two-seed
+        # kernel calls (see _basis_mix) instead of autodiff's
+        # per-order kernel + two full-activation elementwise HBM
+        # round-trips. (A whole-recurrence VMEM-resident variant was
+        # built and hardware-retired in round 3 — per-grid-step overhead,
+        # not bandwidth, binds at these shapes, and its VMEM-capped
+        # 128-wide panel costs 8x the grid steps; design record and
+        # measurements in docs/architecture.md "Retired kernels" and
+        # BASELINE.md.)
+        out = _basis_mix(bsr, xt, w, k, prec, state_dtype, op_dtype,
+                         input_grad=input_grad)
     else:
         c = b * f_pad
         prop = lambda t: bsr_matmul(

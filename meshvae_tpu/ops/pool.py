@@ -45,11 +45,11 @@ def _bsr_transpose_apply(g: jnp.ndarray, t_bsr, out_n: int,
                          out_dtype) -> jnp.ndarray:
     """dx = P^T @ g through the block-sparse SpMM kernel (rectangular
     operator: output rows = pool inputs, columns = pool outputs)."""
-    from .pallas_cheb import _bsr_matmul_impl
+    from .pallas_cheb import _COL_PANEL, _bsr_matmul_impl
 
     b, n_out, f = g.shape
     f_pad = f
-    while (b * f_pad) % 128 != 0:
+    while (b * f_pad) % _COL_PANEL != 0:
         f_pad += 1
     gt = jnp.transpose(g, (1, 0, 2)).astype(t_bsr.blocks.dtype)
     gt = jnp.pad(gt, ((0, t_bsr.n_pad_cols - n_out), (0, 0),
@@ -84,7 +84,12 @@ def pool_apply(x: jnp.ndarray, pool: PoolOperator, method: str = "gather",
     if method != "gather":
         raise ValueError(f"unknown pool method: {method}")
 
-    use_bsr = (pool.t_bsr is not None and x.shape[0] * x.shape[2] >= 128
+    from .pallas_cheb import _COL_PANEL
+
+    # size gate shares the kernel's column-panel width: below one panel of
+    # b*f columns the BSR kernel would pad most of its work away
+    use_bsr = (pool.t_bsr is not None
+               and x.shape[0] * x.shape[2] >= _COL_PANEL
                and _use_kernel_transpose())
     if not TRANSPOSE_GRAD or (pool.t_idx is None and not use_bsr):
         return _gather_apply(x, pool.idx, pool.w)  # autodiff backward

@@ -189,6 +189,7 @@ def shard_operators(ops, mesh: Mesh):
     stream locally, activations all-gather over ICI.
     """
     sp = int(mesh.shape.get("sp", 1))
+    ops = _strip_pool_bsr(ops)  # ANY mesh: see _strip_pool_bsr
     if sp > 1:
         ops = _shard_bsr_operators(ops, mesh, sp)
     row_sharded = NamedSharding(mesh, P("sp", None))
@@ -220,6 +221,28 @@ def shard_operators(ops, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, ops)
 
 
+def _strip_pool_bsr(ops):
+    """Drop the pool backward's P^T BSR operand under ANY device mesh: that
+    kernel is a plain pallas_call with no sharding rule, so inside the
+    GSPMD graph it would run un-shard_mapped — under sp the vertex dim is
+    sharded (wrong rows), and even dp-only meshes leave it unvalidated
+    (no test or hardware run covers that composition). pool_apply then
+    falls back to the ELL-transpose gathers, which GSPMD partitions like
+    any other HLO."""
+    import dataclasses
+
+    def strip(p):
+        if getattr(p, "t_bsr", None) is None:
+            return p
+        return dataclasses.replace(p, t_bsr=None)
+
+    return dataclasses.replace(
+        ops,
+        down=tuple(strip(p) for p in ops.down),
+        up=tuple(strip(p) for p in ops.up),
+    )
+
+
 def _shard_bsr_operators(ops, mesh: Mesh, sp: int):
     """Replace every single-chip BSR operator with its sp-row-sharded form
     (+ the mesh, so cheb_conv can shard_map at trace time)."""
@@ -234,19 +257,8 @@ def _shard_bsr_operators(ops, mesh: Mesh, sp: int):
                                    bsr_sp=shard_block_sparse(op.bsr, sp),
                                    mesh=mesh)
 
-    def strip_pool_bsr(p):
-        # the pool backward's P^T kernel is a plain pallas_call — under
-        # vertex sharding it would sit un-shard_mapped in the GSPMD
-        # graph; drop it so pool_apply falls back to the (shardable)
-        # ELL-transpose gathers
-        if getattr(p, "t_bsr", None) is None:
-            return p
-        return dataclasses.replace(p, t_bsr=None)
-
     return dataclasses.replace(
         ops,
         lap=tuple(convert(o) for o in ops.lap),
         lap_final=convert(ops.lap_final),
-        down=tuple(strip_pool_bsr(p) for p in ops.down),
-        up=tuple(strip_pool_bsr(p) for p in ops.up),
     )

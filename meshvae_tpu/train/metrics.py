@@ -18,10 +18,17 @@ import jax
 
 def history_record(epoch: int, begin: float, duration: float,
                    train: dict, valid: dict, mean_val_error: float) -> dict:
+    """Schema note on timing: `begin` is the epoch's DISPATCH timestamp and
+    `finalized` (= begin + duration) the moment its metrics were fetched.
+    With pipelined epochs (train/driver.py) the next epoch dispatches before
+    this one finalizes, so consecutive `duration`s overlap and do NOT
+    partition wall time — tools must difference `begin`s (as plotLosses.py
+    does) or use `finalized` - previous `finalized`."""
     record = {
         "epoch": epoch,
         "begin": begin,
         "duration": duration,
+        "finalized": begin + duration,
         "training": {
             "loss": train["loss"],
             "kld": train["kld"],
@@ -84,8 +91,15 @@ class RunLog:
             self._fp.close()
 
 
+# Epochs maybe_profile traces (epoch 1 pays compiles; 2 is the first clean
+# one). ONE constant shared by is_profiled and maybe_profile: if they ever
+# disagreed, the driver's forced-synchronous consumption would desync from
+# the actual trace and capture an empty profile under pipelining.
+PROFILE_EPOCHS = (2,)
+
+
 def is_profiled(profile_dir: str | None, epoch: int,
-                profile_epochs: tuple = (2,)) -> bool:
+                profile_epochs: tuple = PROFILE_EPOCHS) -> bool:
     """True when maybe_profile would trace this epoch. The driver uses
     this to force synchronous metric consumption for traced epochs: with
     the epoch pipeline, the dispatch alone returns immediately and the
@@ -95,7 +109,7 @@ def is_profiled(profile_dir: str | None, epoch: int,
 
 @contextlib.contextmanager
 def maybe_profile(profile_dir: str | None, epoch: int,
-                  profile_epochs: tuple = (2,)):
+                  profile_epochs: tuple = PROFILE_EPOCHS):
     """Capture a jax.profiler trace for selected epochs when enabled."""
     if is_profiled(profile_dir, epoch, profile_epochs):
         with jax.profiler.trace(profile_dir):
