@@ -4,7 +4,6 @@ per-grid-step overhead? Same-session probes on the level-0 operator:
   base       bsr_matmul, real blocks (nb ~122), panel from MAX_PANEL
   half       same kernel, HALF the blocks (wrong math, right shape):
              time/blocks halving => pass-/step-bound, flat => bandwidth
-  resident   the whole-recurrence basis kernel (K-1 applies in one call)
   xla_dense  jnp.einsum on the dense operator (MXU sustained reference)
 
 Usage: python benchmarks/pass_probe.py [--batch-size 128]
@@ -42,7 +41,6 @@ def main():
     from meshvae_tpu.mesh.hierarchy import load_or_build_hierarchy
     from meshvae_tpu.mesh.io import load_obj
     from meshvae_tpu.models.operators import build_operators
-    from meshvae_tpu.ops import pallas_resident as pr
     from meshvae_tpu.ops.cheb import resolve_precision
     from meshvae_tpu.ops.pallas_cheb import _bsr_matmul_impl
 
@@ -98,18 +96,6 @@ def main():
         g_idx=None, g_bcol=None, g_width=0)
     results["half"] = timed("half", spmm_scan(half), x)
     results["nb_half"] = int(len(sel))
-
-    pr.RESIDENT = True  # the flag gates dispatch eligibility, not measurement
-    panel = pr.resident_plan(bsr, c, op_dtype, prec)
-    if panel is not None:
-        def basis_scan(t0):
-            def step(t, _):
-                basis = pr.bsr_basis(bsr, t, 6, prec, panel)
-                return basis[-1].astype(t.dtype), None
-            tN, _ = jax.lax.scan(step, t0, jnp.arange(S))
-            return jnp.sum(tN.astype(jnp.float32))
-        results["resident_basis_k6"] = timed("resident_k6", basis_scan, x)
-        results["resident_panel"] = panel
 
     # build dense from blocks on host (pull the metadata once, not per block)
     dn = np.zeros((bsr.n_pad, bsr.n_pad), np.float32)

@@ -515,195 +515,6 @@ class TestChebConvFused:
                 err_msg=name)
 
 
-class TestResident:
-    """Whole-recurrence resident kernels (pallas_resident.py): ONE call
-    builds every basis order with the operator + state in VMEM; ONE call
-    runs the reverse recurrence for dx. RETIRED from the default path
-    (measured slower — per-grid-step overhead dominates at its VMEM-capped
-    panel; see the module docstring) but kept correct and tested as an
-    executable design record, like pallas_fused."""
-
-    @pytest.fixture(autouse=True)
-    def force_resident(self):
-        from meshvae_tpu.ops import pallas_resident as pr
-
-        old = pr.RESIDENT
-        pr.RESIDENT = True
-        yield
-        pr.RESIDENT = old
-
-    def _op(self, big_graph, dtype=jnp.float32):
-        mesh, adj = big_graph
-        return cheb_operator(adj, dtype=dtype)
-
-    def test_plan_eligibility(self, big_graph):
-        from meshvae_tpu.ops import pallas_resident as pr
-
-        op = self._op(big_graph)
-        HI = jax.lax.Precision.HIGHEST
-        assert pr.resident_plan(op.bsr, 256, jnp.float32, HI) is not None
-        # HIGH (bf16x3 pre-split) stays on the per-order kernels
-        assert pr.resident_plan(op.bsr, 256, jnp.float32,
-                                jax.lax.Precision.HIGH) is None
-        # rectangular row shards cannot keep the recurrence state local
-        import dataclasses
-        shard = dataclasses.replace(op.bsr,
-                                    n_pad_cols=op.bsr.n_pad * 2)
-        assert pr.resident_plan(shard, 256, jnp.float32, HI) is None
-        # VMEM budget rejection falls back
-        old = pr.RESIDENT_BUDGET
-        try:
-            pr.RESIDENT_BUDGET = 1024
-            assert pr.resident_plan(op.bsr, 256, jnp.float32, HI) is None
-        finally:
-            pr.RESIDENT_BUDGET = old
-        # global disable switch
-        old_flag = pr.RESIDENT
-        try:
-            pr.RESIDENT = False
-            assert pr.resident_plan(op.bsr, 256, jnp.float32, HI) is None
-        finally:
-            pr.RESIDENT = old_flag
-
-    def test_basis_matches_recurrence(self, big_graph):
-        from meshvae_tpu.ops import pallas_resident as pr
-
-        op = self._op(big_graph)
-        bsr = op.bsr
-        L = bsr_to_dense(bsr)
-        L_pad = np.zeros((bsr.n_pad, bsr.n_pad), np.float32)
-        L_pad[: bsr.n, : bsr.n] = L
-        rng = np.random.default_rng(7)
-        c = 256
-        x = rng.standard_normal((bsr.n_pad, c)).astype(np.float32)
-        HI = jax.lax.Precision.HIGHEST
-        panel = pr.resident_plan(bsr, c, jnp.float32, HI)
-        for k in (2, 3, 4, 6):
-            basis = np.asarray(pr.bsr_basis(bsr, jnp.asarray(x), k, HI,
-                                            panel))
-            ts = [x, L_pad @ x]
-            for _ in range(2, k):
-                ts.append(2 * L_pad @ ts[-1] - ts[-2])
-            for i in range(1, k):
-                np.testing.assert_allclose(basis[i - 1], ts[i], rtol=1e-5,
-                                           atol=1e-5,
-                                           err_msg=f"k={k} T_{i}")
-
-    def test_adjoint_matches_chain(self, big_graph):
-        from meshvae_tpu.ops import pallas_resident as pr
-
-        op = self._op(big_graph)
-        bsr = op.bsr
-        L = bsr_to_dense(bsr)
-        L_pad = np.zeros((bsr.n_pad, bsr.n_pad), np.float32)
-        L_pad[: bsr.n, : bsr.n] = L
-        rng = np.random.default_rng(8)
-        c = 128
-        HI = jax.lax.Precision.HIGHEST
-        panel = pr.resident_plan(bsr, c, jnp.float32, HI)
-        for k in (2, 3, 5, 6):
-            cs = rng.standard_normal((k, bsr.n_pad, c)).astype(np.float32)
-            u, prev = cs[k - 1], None
-            for j in range(k - 1, 1, -1):
-                u, prev = (2 * (L_pad @ u) + cs[j - 1]
-                           - (prev if prev is not None else 0)), u
-            dx_ref = (L_pad @ u) + cs[0] \
-                - (prev if prev is not None else 0)
-            dx = np.asarray(pr.bsr_adjoint(bsr, jnp.asarray(cs), HI, panel))
-            np.testing.assert_allclose(dx, dx_ref, rtol=1e-5, atol=1e-5,
-                                       err_msg=f"k={k}")
-
-    def test_conv_values_and_grads_match_dense(self, big_graph,
-                                               monkeypatch):
-        """Full cheb_conv pallas path through the resident kernels equals
-        the dense path in value and in every gradient — and the resident
-        kernels are asserted to actually engage."""
-        from meshvae_tpu.ops import pallas_resident as pr
-
-        op = self._op(big_graph)
-        calls = {"basis": 0, "adjoint": 0}
-        real_basis, real_adjoint = pr.bsr_basis, pr.bsr_adjoint
-        monkeypatch.setattr(pr, "bsr_basis",
-                            lambda *a, **k: (calls.__setitem__(
-                                "basis", calls["basis"] + 1)
-                                or real_basis(*a, **k)))
-        monkeypatch.setattr(pr, "bsr_adjoint",
-                            lambda *a, **k: (calls.__setitem__(
-                                "adjoint", calls["adjoint"] + 1)
-                                or real_adjoint(*a, **k)))
-        rng = np.random.default_rng(9)
-        for b, f_in, f_out, K in ((8, 16, 16, 6), (8, 16, 32, 4),
-                                  (8, 3, 16, 6), (8, 16, 16, 2)):
-            x = jnp.asarray(
-                rng.standard_normal((b, op.n, f_in)).astype(np.float32))
-            w = jnp.asarray(
-                (0.1 * rng.standard_normal((K, f_in, f_out))).astype(
-                    np.float32))
-            bias = jnp.asarray(
-                (0.1 * rng.standard_normal(f_out)).astype(np.float32))
-            tgt = jnp.asarray(
-                rng.standard_normal((b, op.n, f_out)).astype(np.float32))
-
-            def loss(method):
-                def fn(x_, w_, b_):
-                    o = cheb_conv(x_, op, w_, b_, method=method,
-                                  precision=jax.lax.Precision.HIGHEST)
-                    return jnp.sum((o - tgt) ** 2)
-                return fn
-
-            vd, gd = jax.value_and_grad(loss("dense"), (0, 1, 2))(x, w, bias)
-            vp, gp = jax.value_and_grad(loss("pallas"), (0, 1, 2))(x, w, bias)
-            np.testing.assert_allclose(float(vp), float(vd), rtol=1e-5)
-            for a, c_, name in zip(gd, gp, ("dx", "dw", "dbias")):
-                np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(c_), rtol=1e-3, atol=1e-3,
-                    err_msg=f"{name} f={f_in}->{f_out} K={K}")
-        assert calls["basis"] >= 4 and calls["adjoint"] >= 4
-
-    def test_input_grad_false(self, big_graph):
-        op = self._op(big_graph)
-        rng = np.random.default_rng(10)
-        b, f_in, f_out, K = 8, 16, 16, 6
-        x = jnp.asarray(
-            rng.standard_normal((b, op.n, f_in)).astype(np.float32))
-        w = jnp.asarray(
-            (0.1 * rng.standard_normal((K, f_in, f_out))).astype(np.float32))
-
-        def loss(ig):
-            def fn(x_, w_):
-                o = cheb_conv(x_, op, w_, None, method="pallas",
-                              precision=jax.lax.Precision.HIGHEST,
-                              input_grad=ig)
-                return jnp.sum(o ** 2)
-            return fn
-
-        gx_full, gw_full = jax.grad(loss(True), (0, 1))(x, w)
-        gx_skip, gw_skip = jax.grad(loss(False), (0, 1))(x, w)
-        assert float(jnp.abs(gx_skip).max()) == 0.0
-        np.testing.assert_allclose(np.asarray(gw_skip), np.asarray(gw_full),
-                                   rtol=1e-6, atol=1e-6)
-
-    def test_bf16_state_resident(self, big_graph):
-        """bf16 operator blocks + DEFAULT precision: the resident path
-        runs with a bf16 state and stays within the bf16 error budget."""
-        op = self._op(big_graph, dtype=jnp.bfloat16)
-        op_f32 = self._op(big_graph)
-        rng = np.random.default_rng(11)
-        b, f_in, f_out, K = 8, 16, 16, 6
-        x = jnp.asarray(
-            rng.standard_normal((b, op.n, f_in)).astype(np.float32))
-        w = jnp.asarray(
-            (0.1 * rng.standard_normal((K, f_in, f_out))).astype(np.float32))
-        ref = cheb_conv(x, op_f32, w, None, method="dense",
-                        precision=jax.lax.Precision.HIGHEST)
-        got = cheb_conv(x.astype(jnp.bfloat16), op, w, None,
-                        method="pallas",
-                        precision=jax.lax.Precision.DEFAULT)
-        scale = float(jnp.abs(ref).max())
-        err = float(jnp.abs(got.astype(jnp.float32) - ref).max())
-        assert err < 0.05 * scale, (err, scale)
-
-
 class TestGroupedKernel:
     """Row-grouped kernel (default): one grid step per output row-block,
     all G block-dots, single write — must equal the per-block kernels
