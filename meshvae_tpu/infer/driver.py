@@ -40,6 +40,8 @@ class InferenceEngine:
     batch 128 across a slice)."""
 
     def __init__(self, model, ops, mesh=None):
+        import functools
+
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -49,6 +51,14 @@ class InferenceEngine:
         else:
             self.ops = ops
         self._step = jax.jit(self._step_impl)
+        # whole-dataset pipeline as ONE dispatch (lax.scan over staged
+        # batches); the no-mesh variant never materializes the [S, B, N, 3]
+        # recon/oppo stacks (XLA DCEs them), the per-mesh scalars ride in
+        # one packed array
+        self._scan = jax.jit(functools.partial(self._scan_impl,
+                                               collect_meshes=True))
+        self._scan_light = jax.jit(functools.partial(self._scan_impl,
+                                                     collect_meshes=False))
         self._aot = {}  # multi-process AOT executables (loop.call_synced)
 
     def _step_impl(self, params, batch, norm_mean, norm_std, ops):
@@ -90,6 +100,45 @@ class InferenceEngine:
             out["err_mean"] = err.mean(axis=-1)
             out["err_max"] = err.max(axis=-1)
         return out
+
+    def _scan_impl(self, params, batches, norm_mean, norm_std, ops,
+                   collect_meshes: bool):
+        def body(carry, batch):
+            out = self._step_impl(params, batch, norm_mean, norm_std, ops)
+            # per-mesh scalars packed into ONE [3, B] slab per step: the
+            # whole dataset's pred/err_mean/err_max then costs a single
+            # ~25ms relay pull instead of 3 per batch
+            keep = {"packed": jnp.stack([out["pred"].astype(jnp.float32),
+                                         out["err_mean"], out["err_max"]])}
+            if collect_meshes:
+                keep["recon_orig"] = out["recon_orig"]
+                keep["oppo_orig"] = out["oppo_orig"]
+            return carry, keep
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    def stage_batches(self, loader):
+        """One upload for the whole dataset (stacked [S, B, ...], batch
+        axis dp-sharded / vertex axis sp-sharded under a mesh)."""
+        from ..train.loop import stage_batch_arrays
+
+        return stage_batch_arrays(loader, self.mesh,
+                                  ("x", "r", "s", "m", "original", "mask"),
+                                  with_index=True)
+
+    def run_scanned(self, params, staged: dict, norm_mean, norm_std,
+                    collect_meshes: bool = True):
+        """Dispatch the whole inference pipeline as one scan; returns the
+        device-resident outs dict (fetch with parallel.sharding.fetch)."""
+        from ..train.loop import call_synced
+
+        device_batches = {k: v for k, v in staged.items()
+                          if k not in ("index", "mask_host")}
+        return call_synced(
+            self._scan if collect_meshes else self._scan_light, self._aot,
+            ("infer_scan", device_batches["x"].shape, collect_meshes),
+            params, device_batches, norm_mean, norm_std, self.ops)
 
     def put_batch(self, batch: dict) -> dict:
         """Host batch -> device, batch axis sharded over dp when meshed."""
@@ -139,37 +188,55 @@ def run_inference(net_params, model, ops, output_path: str, mean, std,
             os.makedirs(mesh_dir, exist_ok=True)
         os.makedirs(output_path, exist_ok=True)
 
-    for batch in loader:
-        out = engine.step(net_params, engine.put_batch(batch), mean, std)
-        keep = np.asarray(batch["mask"]) > 0
-        preds = fetch(out["pred"])[keep]
-        err_mean = fetch(out["err_mean"])[keep]
-        err_max = fetch(out["err_max"])[keep]
-        recon = fetch(out["recon_orig"])[keep]
-        oppo = fetch(out["oppo_orig"])[keep]
-        indices = np.asarray(batch["index"])[keep]
+    # Pipelined path (round-4 rework; the per-batch loop paid ~5 relay
+    # round-trips x ~25ms per batch, the train loop's "dominant serial
+    # tax"): stage every batch in ONE upload, run the whole dataset as ONE
+    # scanned dispatch, pull the per-mesh scalars as ONE packed array, and
+    # start the (large) mesh-stack copies device->host asynchronously so
+    # they overlap the scalar processing and the .obj writes below.
+    staged = engine.stage_batches(loader)
+    if staged is None:
+        outs = None
+    else:
+        outs = engine.run_scanned(net_params, staged, mean, std,
+                                  collect_meshes=save_meshes)
+        if save_meshes:
+            for k in ("recon_orig", "oppo_orig"):
+                try:  # overlap the big copies with the packed fetch
+                    outs[k].copy_to_host_async()
+                except AttributeError:  # multi-host global arrays
+                    pass
 
-        for i, ds_idx in enumerate(indices):
-            path = dataset.filenames[int(ds_idx)]
-            name = path.split("/").pop()
-            results[name] = {
-                "sex": int(preds[i]),
-                "reconstruction_error": {
-                    "mean": float(err_mean[i]),
-                    "max": float(err_max[i]),
-                },
-            }
-            pred_sex[path] = str(preds[i])
-            error_dict[path] = format(err_mean[i], ".4f")
+    if outs is not None:
+        packed = fetch(outs["packed"])               # [S, 3, B] — ONE pull
+        mask = np.asarray(staged["mask_host"]) > 0   # [S, B]
+        index = np.asarray(staged["index"])          # [S, B]
+        if save_meshes:
+            recon_all = fetch(outs["recon_orig"])    # [S, B, N, 3]
+            oppo_all = fetch(outs["oppo_orig"])
+        for s_i in range(mask.shape[0]):
+            for b_i in np.nonzero(mask[s_i])[0]:
+                ds_idx = int(index[s_i, b_i])
+                pred = int(packed[s_i, 0, b_i])
+                e_mean = float(packed[s_i, 1, b_i])
+                e_max = float(packed[s_i, 2, b_i])
+                path = dataset.filenames[ds_idx]
+                name = path.split("/").pop()
+                results[name] = {
+                    "sex": pred,
+                    "reconstruction_error": {"mean": e_mean, "max": e_max},
+                }
+                pred_sex[path] = str(pred)
+                error_dict[path] = format(e_mean, ".4f")
 
-            if save_meshes and write:
-                stem = name.split(".")[0]
-                save_obj(os.path.join(mesh_dir, stem + "_recon.obj"),
-                         recon[i], faces)
-                save_obj(os.path.join(mesh_dir, stem + "_gt.obj"),
-                         dataset.original[int(ds_idx)], faces)
-                save_obj(os.path.join(mesh_dir, stem + ".obj"),
-                         oppo[i], faces)
+                if save_meshes and write:
+                    stem = name.split(".")[0]
+                    save_obj(os.path.join(mesh_dir, stem + "_recon.obj"),
+                             recon_all[s_i, b_i], faces)
+                    save_obj(os.path.join(mesh_dir, stem + "_gt.obj"),
+                             dataset.original[ds_idx], faces)
+                    save_obj(os.path.join(mesh_dir, stem + ".obj"),
+                             oppo_all[s_i, b_i], faces)
 
     if write_pred and write:
         with open(os.path.join(output_path, "pred.json"), "w") as fp:

@@ -101,6 +101,51 @@ def call_synced(jit_fn, aot_cache: dict, cache_key, *args):
     return compiled(*args)
 
 
+def stage_batch_arrays(loader, mesh, keys: tuple,
+                       with_index: bool = False):
+    """Upload a loader's batches ONCE as stacked [S, B, ...] device arrays
+    (None for an empty loader) — the shared staging path behind
+    Trainer.stage_batches and the inference pipeline.
+
+    Keys absent from the batches are skipped. "mask" is additionally kept
+    host-side as "mask_host" (saves a ~25ms relay round-trip per consumer),
+    and with_index stashes dataset indices as a HOST "index" array."""
+    batch_list = list(loader)
+    if not batch_list:
+        return None
+    stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys
+               if k in batch_list[0]}
+    mask_host = stacked["mask"]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, "dp"))
+        # Vertex-shaped arrays [S, B, N, 3] stage 2-D-sharded (batch
+        # over dp AND vertices over sp): the sp-sharded step consumes
+        # them with the vertex dim sharded, and GSPMD cannot convert
+        # batch-sharded -> vertex-sharded efficiently (it emits an
+        # "involuntary full rematerialization" — replicate, then
+        # re-slice — once per scanned epoch/eval compile). Staging in
+        # the consumer's layout removes that (see
+        # parallel.sharding.shard_batch for the per-step analog).
+        from ..parallel.sharding import VERTEX_KEYS, vertex_dim_shardable
+
+        sh_vert = NamedSharding(mesh, P(None, "dp", "sp"))
+        staged = {
+            k: put_sharded(
+                v,
+                sh_vert if k in VERTEX_KEYS
+                and vertex_dim_shardable(v, mesh, 2) else sh)
+            for k, v in stacked.items()
+        }
+    else:
+        staged = {k: jnp.asarray(v) for k, v in stacked.items()}
+    staged["mask_host"] = mask_host
+    if with_index:
+        staged["index"] = np.stack([b["index"] for b in batch_list])
+    return staged
+
+
 class Trainer:
     """Owns the jitted steps for one (model, operators, config) triple.
 
@@ -359,40 +404,10 @@ class Trainer:
         with_index additionally stashes the dataset indices as a HOST
         "index" array [S, B] (needed by evaluate_scanned's mesh
         collection to name output files; never shipped to the device)."""
-        keys = ("x", "label", "r", "s", "m", "original", "mask")
-        batch_list = list(loader)
-        if not batch_list:
-            return None
-        stacked = {k: np.stack([b[k] for b in batch_list]) for k in keys}
-        mask_host = stacked["mask"]  # kept host-side: saves the per-epoch
-        # mask fetch (a ~25ms relay round-trip) in evaluate_scanned
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(self.mesh, P(None, "dp"))
-            # Vertex-shaped arrays [S, B, N, 3] stage 2-D-sharded (batch
-            # over dp AND vertices over sp): the sp-sharded step consumes
-            # them with the vertex dim sharded, and GSPMD cannot convert
-            # batch-sharded -> vertex-sharded efficiently (it emits an
-            # "involuntary full rematerialization" — replicate, then
-            # re-slice — once per scanned epoch/eval compile). Staging in
-            # the consumer's layout removes that (see
-            # parallel.sharding.shard_batch for the per-step analog).
-            from ..parallel.sharding import (VERTEX_KEYS,
-                                             vertex_dim_shardable)
-            sh_vert = NamedSharding(self.mesh, P(None, "dp", "sp"))
-            staged = {
-                k: put_sharded(
-                    v,
-                    sh_vert if k in VERTEX_KEYS
-                    and vertex_dim_shardable(v, self.mesh, 2) else sh)
-                for k, v in stacked.items()
-            }
-        else:
-            staged = {k: jnp.asarray(v) for k, v in stacked.items()}
-        staged["mask_host"] = mask_host
-        if with_index:
-            staged["index"] = np.stack([b["index"] for b in batch_list])
-        return staged
+        return stage_batch_arrays(loader, self.mesh,
+                                  ("x", "label", "r", "s", "m", "original",
+                                   "mask"),
+                                  with_index=with_index)
 
     # host-side staging keys that must never reach a jitted call
     _HOST_KEYS = ("index", "mask_host")
