@@ -315,6 +315,84 @@ class TestCreconParallel:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestJointParallel:
+    """The joint disentangled VAE + classifier (BASELINE config 3) under
+    dp/sp: one optimizer step must equal single-device — inheritance from
+    Trainer is machinery, not evidence, so the composed model (two decode
+    passes + gradient reversal + live diff-feature GCN) gets its own
+    equivalence class like crecon/inference."""
+
+    def _build(self, setup):
+        from meshvae_tpu.models.joint import build_joint_model
+
+        model, ops, config, batch, mean, std = setup
+        hier = build_hierarchy(make_grid_mesh(8, jitter=0.05), [2, 2])
+        cfg = dict(config, latent_split=2, sup_weight=1.0, adv_weight=0.1,
+                   cls_weight=1.0)
+        joint = build_joint_model(cfg, coarse_verts=hier.levels[-1])
+        return joint, cfg
+
+    def _one_step(self, setup, dmesh):
+        from meshvae_tpu.train.joint import JointTrainer
+
+        model, ops, config, batch, mean, std = setup
+        joint, cfg = self._build(setup)
+        trainer = JointTrainer(joint, ops, cfg, mesh=dmesh)
+        params = trainer.init_params(jax.random.key(0))
+        opt_state = trainer.init_opt_state(params)
+        params = trainer.maybe_replicate(params)
+        opt_state = trainer.maybe_replicate(opt_state)
+        m = trainer.maybe_replicate(jnp.asarray(mean))
+        s = trainer.maybe_replicate(jnp.asarray(std))
+        params, opt_state, metrics = trainer._train_step(
+            params, opt_state, trainer._put(dict(batch)), jax.random.key(1),
+            m, s)
+        from meshvae_tpu.train.loop import unpack_metrics
+
+        return params, unpack_metrics(metrics)
+
+    def test_dp8_matches_single_device(self, setup):
+        p1, m1 = self._one_step(setup, None)
+        p8, m8 = self._one_step(setup, make_device_mesh(dp=8))
+        assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
+        assert m8["error"] == pytest.approx(m1["error"], rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dp4_sp2_matches_single_device(self, setup):
+        p1, m1 = self._one_step(setup, None)
+        pm, mm = self._one_step(setup, make_device_mesh(dp=4, sp=2))
+        assert mm["loss"] == pytest.approx(m1["loss"], rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_eval_scanned_dp8_matches_single_device(self, setup):
+        """The joint eval path (extra sup/adv scalars) under dp."""
+        from meshvae_tpu.train.joint import JointTrainer
+
+        model, ops, config, batch, mean, std = setup
+        joint, cfg = self._build(setup)
+        loader = [dict(batch) for _ in range(2)]
+
+        def run(dmesh):
+            trainer = JointTrainer(joint, ops, cfg, mesh=dmesh)
+            params = trainer.init_params(jax.random.key(0))
+            return trainer.evaluate_scanned(params, list(loader),
+                                            jnp.asarray(mean),
+                                            jnp.asarray(std))
+
+        avg1, err1 = run(None)
+        avg8, err8 = run(make_device_mesh(dp=8))
+        for k in ("loss", "accuracy", "sup_accuracy", "adv_accuracy",
+                  "sex_change_success_rate"):
+            assert avg8[k] == pytest.approx(avg1[k], rel=1e-4), k
+        np.testing.assert_allclose(err8, err1, rtol=1e-4, atol=1e-5)
+
+
 class TestMultihostInit:
     """maybe_init_multihost plumbs config -> jax.distributed.initialize
     (auto-detect when fields are unset, explicit otherwise)."""
