@@ -46,8 +46,11 @@ LEGS: dict[str, dict] = {
     },
     "flagship_bf16": {
         "cfg": "files/default.cfg",
+        # matmul_precision=default matches the bench record config exactly
+        # (bench.py clamps HIGHEST on bf16 operands the same way the
+        # kernel-level _clamp_bf16_precision now does).
         "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
-                      "batch_size": "128"},
+                      "matmul_precision": "default", "batch_size": "128"},
     },
     "joint_high": {
         "cfg": "files/joint.cfg",

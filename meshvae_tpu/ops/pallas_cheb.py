@@ -86,6 +86,27 @@ FUSED_SEED_DOT = bool(int(__import__("os").environ.get(
     "MESHVAE_FUSED_SEED_DOT", "0")))
 
 
+def _clamp_bf16_precision(precision, op_dtype):
+    """Resolve the precision flag and clamp it for bf16 operator blocks.
+
+    Mosaic rejects an fp32-contract matmul on bf16 operands ("Bad lhs
+    type"), so HIGHEST on a bf16 operator cannot lower at all — and HIGH's
+    bf16x3 split is a no-op on bf16 blocks (the low residual is exactly
+    zero, the three passes just triple the traffic). Both clamp to
+    DEFAULT, which on bf16 inputs already accumulates f32 on the MXU.
+    This is the config-path twin of bench.py's arg-level guard: a user
+    running `compute_dtype bfloat16` with the default.cfg
+    `matmul_precision = highest` must get the record bf16 kernel, not a
+    backend compile crash."""
+    from .cheb import resolve_precision
+
+    precision = resolve_precision(precision)
+    if op_dtype == jnp.bfloat16 and precision in (
+            jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH):
+        return jax.lax.Precision.DEFAULT
+    return precision
+
+
 def _seed_with(contrib, tprev_ref, tplus_ref):
     """Accumulator seed contrib [+ t_plus] [− t_prev], f32."""
     seed = contrib
@@ -617,9 +638,7 @@ def _bsr_matmul_impl(bsr: BlockSparseOperator, x2d: jnp.ndarray,
     disappears. Requires a square mix with f dividing the column panel;
     anything else (and the pre-split bf16x3 HIGH kernels) falls back to
     computing the seed eagerly here — identical math either way."""
-    from .cheb import resolve_precision
-
-    precision = resolve_precision(precision)
+    precision = _clamp_bf16_precision(precision, bsr.blocks.dtype)
     rows_x, c = x2d.shape
     # rectangular operators (row shards, pallas_shard.py): output rows are
     # local (bsr.n_pad), input rows global (bsr.n_pad_cols)
@@ -929,14 +948,12 @@ def cheb_conv_pallas(x: jnp.ndarray, op, weight: jnp.ndarray,
     k, _, f_out = weight.shape
     n_pad, f_pad = _pad_amounts(n, b, f_in, n_pad=bsr.n_pad)
 
-    from .cheb import resolve_precision
-
-    prec = resolve_precision(precision)
+    op_dtype = bsr.blocks.dtype
+    prec = _clamp_bf16_precision(precision, op_dtype)
     # With bf16 operator blocks the kernel emits bf16 (BF16_STATE), so the
     # whole recurrence state lives bf16: no per-order downcast op, and the
     # t_prev read / output write / mix-dot inputs stream at half width.
     # f32 blocks (HIGHEST/HIGH parity modes) keep an f32 state.
-    op_dtype = bsr.blocks.dtype
     state_dtype = (jnp.bfloat16
                    if BF16_STATE and op_dtype == jnp.bfloat16
                    and prec != jax.lax.Precision.HIGH else jnp.float32)

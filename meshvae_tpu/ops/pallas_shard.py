@@ -359,8 +359,6 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
     lives row-sharded over "sp" (and batch-column-sharded over "dp"); each
     propagation all-gathers activations over ICI and computes local rows.
     Mirrors cheb_conv_pallas's stacked-mix structure."""
-    from .cheb import resolve_precision
-
     sbsr: ShardedBlockSparse = op.bsr_sp
     mesh = op.mesh
     b, n, f_in = x.shape
@@ -373,7 +371,8 @@ def cheb_conv_pallas_sharded(x: jnp.ndarray, op, weight: jnp.ndarray,
     while (b * f_pad) % (dp * 128) != 0:
         f_pad += 1
 
-    prec = resolve_precision(precision)
+    from .pallas_cheb import _clamp_bf16_precision
+    prec = _clamp_bf16_precision(precision, sbsr.blocks.dtype)
     # with bf16 operator blocks the kernel emits bf16 (pallas_cheb
     # BF16_STATE), so the recurrence state stays bf16 end-to-end — the
     # all-gather then also moves half the bytes over ICI; f32 blocks

@@ -287,6 +287,39 @@ class TestChebConvPallas:
         assert gx.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
 
+    @pytest.mark.parametrize("precision", ["highest", "high"])
+    def test_bf16_blocks_clamp_strict_precision(self, big_graph, precision):
+        """compute_dtype=bfloat16 with default.cfg's matmul_precision=
+        highest must run the plain bf16 kernel, not crash the backend:
+        Mosaic rejects fp32-contract matmuls on bf16 operands ("Bad lhs
+        type") and HIGH's bf16x3 residual is exactly zero on bf16 blocks.
+        The precision clamp (_clamp_bf16_precision) makes HIGHEST/HIGH
+        on a bf16 operator behave exactly like DEFAULT — including through
+        the gradient path (the round-4 quality campaign's flagship_bf16
+        leg died on this before the clamp)."""
+        mesh, adj = big_graph
+        op16 = cheb_operator(adj, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(
+            rng.standard_normal((4, op16.n, 8)).astype(np.float32))
+        w = jnp.asarray(
+            (0.1 * rng.standard_normal((4, 8, 16))).astype(np.float32))
+
+        def loss(xx, ww, prec):
+            return jnp.sum(
+                cheb_conv(xx, op16, ww, None, method="pallas",
+                          precision=prec).astype(jnp.float32) ** 2)
+
+        args = (x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(
+            *args, "default")
+        got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(
+            *args, precision)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
+        for a, b in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32))
+
     @pytest.mark.parametrize("fused_bwd,colmajor", [
         (True, True), (True, False), (False, True)])
     def test_gradients_match_dense(self, big_graph, fused_bwd, colmajor):
