@@ -432,3 +432,62 @@ class TestEpochPipeline:
                         jax.tree_util.tree_leaves(ckpt_s["params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-8)
+
+
+class TestQualityEquivalence:
+    """The throughput-record training path must LEARN as well as the
+    parity path (VERDICT r3 #1): same tiny synthetic problem, 30 epochs,
+    the bf16 + scan + pipelined configuration must reach the f32 HIGHEST
+    path's validation error within tolerance. The hardware-scale twin of
+    this assertion (template5k, 300 epochs, pallas kernels, real TPU) is
+    the committed RESULTS.md campaign."""
+
+    def _train(self, tiny_env, tmp_path, name, **overrides):
+        config, template, root = tiny_env
+        cfg = dict(config)
+        cfg.update({
+            "checkpoint_dir": os.path.join(tmp_path, name),
+            "log_file": os.path.join(tmp_path, name, "log.txt"),
+            "epoch": 30,
+            "folds": 2,
+            "scan_epoch": True,
+        })
+        cfg.update(overrides)
+        run(cfg, do_train=True, do_test=False)
+        folds = []
+        for fold in (1, 2):
+            with open(os.path.join(cfg["checkpoint_dir"],
+                                   f"history{fold}.json")) as f:
+                hist = json.load(f)
+            folds.append({
+                "train_loss": [rec["training"]["loss"] for rec in hist],
+                "train_acc": [rec["training"]["accuracy"] for rec in hist],
+                "val_acc": [rec["validation"]["accuracy"] for rec in hist],
+                "val_error": [rec["validation"]["error"] for rec in hist],
+            })
+        return folds
+
+    def test_bf16_record_path_reaches_f32_val_error(self, tiny_env, tmp_path):
+        f32 = self._train(tiny_env, str(tmp_path), "f32",
+                          cheb_method="dense",
+                          matmul_precision="highest")
+        b16 = self._train(tiny_env, str(tmp_path), "bf16",
+                          cheb_method="dense",
+                          compute_dtype="bfloat16",
+                          matmul_precision="default")
+        for ff, bb in zip(f32, b16):
+            # Both learn. The tiny fixture's loss carries the fixed-sigma
+            # NLL floor (~381, SURVEY §3.2), so relative loss drops are
+            # ~0.1%: the live learning signals here are the classifier
+            # climbing from chance to perfect and the loss going DOWN at
+            # all; the full-scale twin of this assertion (template5k,
+            # 300 epochs, real TPU, val error 3.06 -> 1.42) is RESULTS.md.
+            for leg in (ff, bb):
+                assert leg["train_acc"][0] < 1.0, leg["train_acc"]
+                assert leg["train_acc"][-1] == 1.0, leg["train_acc"]
+                assert leg["val_acc"][-1] == 1.0, leg["val_acc"]
+                assert leg["train_loss"][-1] < leg["train_loss"][0], leg
+            # and the record path's converged val error lands within 10%
+            # of the parity path's
+            assert bb["val_error"][-1] < 1.10 * ff["val_error"][-1], (
+                bb["val_error"][-1], ff["val_error"][-1])
