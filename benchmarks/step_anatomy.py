@@ -44,7 +44,12 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--precision", default="default")
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--polygon-order", type=int, default=6)
+    ap.add_argument("--workload", default="default",
+                    choices=["default", "scaled20k", "scaled80k"],
+                    help="scaled templates run at K=10 (their BASELINE "
+                         "config) unless --polygon-order overrides")
+    ap.add_argument("--polygon-order", type=int, default=0,
+                    help="0: 6 for the 5k workload, 10 for scaled ones")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--components", default="all",
                     help="comma list: full,step_real,pose_error,grad,fwd,"
@@ -67,10 +72,20 @@ def main():
     from meshvae_tpu.models.vae import MeshVAE, VAEConfig
     from meshvae_tpu.train.loop import Trainer
 
-    hier = load_or_build_hierarchy(load_obj(TEMPLATE), [4, 4, 4, 4])
+    template = TEMPLATE
+    if args.workload != "default":
+        from meshvae_tpu.tools.make_scaled_template import ensure_template
+
+        template = os.path.join(
+            os.path.dirname(TEMPLATE),
+            f"template{args.workload[len('scaled'):]}.obj")
+        ensure_template(template)
+    k = args.polygon_order or (6 if args.workload == "default" else 10)
+
+    hier = load_or_build_hierarchy(load_obj(template), [4, 4, 4, 4])
     config = {
         "num_conv_filters": [16, 16, 16, 32, 32],
-        "polygon_order": [args.polygon_order] * 5,
+        "polygon_order": [k] * 5,
         "n_layers": 4, "num_hidden": 512, "num_style": 16,
         "num_classes": 2, "dropout": 0.2,
         "cheb_method": args.method, "pool_method": "gather",
@@ -211,7 +226,6 @@ def main():
 
     if "conv_l0" in want:
         from meshvae_tpu.ops.cheb import cheb_conv
-        k = args.polygon_order
         w = jnp.asarray(0.1 * rng.standard_normal((k, 3, 16)), jnp.float32)
         x0 = batch["x"].astype(cfg.dtype)
         wd = w.astype(cfg.dtype)
