@@ -134,8 +134,8 @@ class TestEndToEnd:
                 history = json.load(fp)
             assert len(history) == 2
             rec = history[0]
-            assert set(rec) == {"epoch", "begin", "duration", "training",
-                                "validation"}
+            assert set(rec) == {"epoch", "begin", "duration", "finalized",
+                                "training", "validation"}
             assert set(rec["validation"]) == {
                 "loss", "kld", "reconstruction_loss", "accuracy", "error",
                 "sex_change_success_rate"}
