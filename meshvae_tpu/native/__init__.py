@@ -41,6 +41,14 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
     ]
+    if hasattr(lib, "meshops_obj_parse"):  # absent in pre-round-4 builds
+        lib.meshops_obj_parse.restype = ctypes.c_int64
+        lib.meshops_obj_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = lib
     return lib
 
@@ -89,3 +97,29 @@ def barycentric_transfer_native(src_v: np.ndarray, src_f: np.ndarray,
     lib.meshops_transfer(_dptr(sv), sv.shape[0], _iptr(sf), sf.shape[0],
                          _dptr(tv), tv.shape[0], _iptr(cols), _dptr(weights))
     return cols, weights
+
+
+def obj_parse_native(path: str):
+    """Native single-pass parse of the plain-triangle OBJ dialect; returns
+    (verts [N,3] f64, faces [F,3] i64 0-based) or None when the library is
+    unavailable, the build predates the symbol, or the file uses a
+    construct outside the dialect (the caller falls back to the Python
+    parser)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "meshops_obj_parse"):
+        return None
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return None
+    # a v/f line is >= 8 bytes, so size // 8 + 1 bounds both counts
+    cap = size // 8 + 1
+    verts = np.empty((cap, 3), dtype=np.float64)
+    faces = np.empty((cap, 3), dtype=np.int64)
+    nv = np.zeros(1, dtype=np.int64)
+    nf = np.zeros(1, dtype=np.int64)
+    rc = lib.meshops_obj_parse(path.encode(), _dptr(verts), cap,
+                               _iptr(faces), cap, _iptr(nv), _iptr(nf))
+    if rc != 0:
+        return None
+    return verts[: int(nv[0])].copy(), faces[: int(nf[0])].copy()

@@ -18,6 +18,8 @@
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <set>
@@ -386,6 +388,74 @@ void meshops_transfer(const double *src_v, int64_t src_nv,
       }
     }
   }
+}
+
+// OBJ parse for the plain-triangle dialect this framework and the
+// reference both emit ("v x y z" / "f a b c", positive 1-based indices) —
+// the data-loader hot path. The reference's loaders are native too
+// (psbody-mesh / open3d, /root/reference/data.py:140); the pure-Python
+// parser costs ~15 ms per 5k-vertex mesh, which dominated the whole
+// inference pipeline at 512 meshes. Single pass with strtod/strtoll.
+//
+// Returns 0 on success (writing *nv / *nf counts), -1 if the file can't
+// be read, -2 on any construct outside the dialect (texture/normal
+// indices, polygons, negative indices, vertex w components) — the caller
+// falls back to the general Python parser — and -3 if caller capacity is
+// exceeded. Faces are written 0-based.
+int64_t meshops_obj_parse(const char *path, double *verts, int64_t v_cap,
+                          int64_t *faces, int64_t f_cap, int64_t *nv,
+                          int64_t *nf) {
+  FILE *fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  std::fseek(fp, 0, SEEK_END);
+  long size = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (size > 0 && std::fread(buf.data(), 1, size, fp) != (size_t)size) {
+    std::fclose(fp);
+    return -1;
+  }
+  std::fclose(fp);
+  buf[size] = '\0';
+
+  int64_t cv = 0, cf = 0;
+  const char *p = buf.data();
+  const char *end = buf.data() + size;
+  while (p < end) {
+    if (p[0] == 'v' && p[1] == ' ') {
+      if (cv >= v_cap) return -3;
+      p += 2;
+      char *q;
+      for (int k = 0; k < 3; ++k) {
+        double x = std::strtod(p, &q);
+        if (q == p) return -2;
+        verts[3 * cv + k] = x;
+        p = q;
+      }
+      while (p < end && (*p == ' ' || *p == '\r' || *p == '\t')) ++p;
+      if (p < end && *p != '\n') return -2;  // w component etc.
+      ++cv;
+    } else if (p[0] == 'f' && p[1] == ' ') {
+      if (cf >= f_cap) return -3;
+      p += 2;
+      char *q;
+      for (int k = 0; k < 3; ++k) {
+        long long i = std::strtoll(p, &q, 10);
+        if (q == p || i <= 0) return -2;  // negative / malformed index
+        faces[3 * cf + k] = (int64_t)(i - 1);
+        p = q;
+        if (p < end && (*p == '/')) return -2;  // i/t, i//n forms
+      }
+      while (p < end && (*p == ' ' || *p == '\r' || *p == '\t')) ++p;
+      if (p < end && *p != '\n') return -2;  // polygon (4+ indices)
+      ++cf;
+    }
+    while (p < end && *p != '\n') ++p;  // skip comments / other directives
+    ++p;
+  }
+  *nv = cv;
+  *nf = cf;
+  return 0;
 }
 
 }  // extern "C"

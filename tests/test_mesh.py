@@ -36,6 +36,45 @@ class TestIO:
         mesh = load_obj(path)
         assert mesh.f.tolist() == [[0, 1, 2], [1, 3, 2]]
 
+    def test_parser_tiers_agree(self, tmp_path, grid_mesh):
+        """load_obj has three tiers (native C, vectorized numpy, general
+        per-token); on the plain-triangle dialect all available tiers must
+        produce identical arrays, and dialect escapes (negative indices,
+        polygons, texture indices, w components, comments) must route to
+        the general parser with correct results."""
+        from meshvae_tpu.mesh.io import _parse_obj_fast
+        from meshvae_tpu.native import obj_parse_native
+
+        path = os.path.join(tmp_path, "plain.obj")
+        save_obj(path, grid_mesh.v, grid_mesh.f, comment="tier check")
+        fast_v, fast_f = _parse_obj_fast(open(path).read())
+        assert fast_v is not None
+        np.testing.assert_allclose(fast_v, load_obj(path).v, atol=0)
+        np.testing.assert_array_equal(fast_f, load_obj(path).f)
+        native = obj_parse_native(path)
+        if native is not None:  # library built
+            np.testing.assert_allclose(native[0], fast_v, atol=0)
+            np.testing.assert_array_equal(native[1], fast_f)
+
+        # dialect escapes: every tier must decline, general parser handles
+        escapes = {
+            "neg.obj": ("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n",
+                        [[0, 1, 2]]),
+            "quad.obj": ("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n",
+                         [[0, 1, 2], [0, 2, 3]]),
+            "tex.obj": ("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/1 2/2 3/3\n",
+                        [[0, 1, 2]]),
+            "w.obj": ("v 0 0 0 1.0\nv 1 0 0 1.0\nv 0 1 0 1.0\nf 1 2 3\n",
+                      [[0, 1, 2]]),
+        }
+        for name, (text, faces) in escapes.items():
+            p = os.path.join(tmp_path, name)
+            with open(p, "w") as fp:
+                fp.write(text)
+            assert _parse_obj_fast(text)[0] is None, name
+            assert obj_parse_native(p) is None, name
+            assert load_obj(p).f.tolist() == faces, name
+
 
 class TestConnectivity:
     def test_single_triangle(self):
