@@ -38,6 +38,10 @@ def main():
                     help="include the recon/gt/oppo .obj writes in the "
                          "timed pipeline (default: --no-meshes mode)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--reuse-engine", action="store_true",
+                    help="share one InferenceEngine across repeats (the "
+                         "fold-sweep / serving-loop pattern): skips the "
+                         "~5.7s per-call jax retrace+lowering)")
     ap.add_argument("--data", default="/tmp/infer_e2e")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -91,6 +95,11 @@ def main():
 
     out_dir = os.path.join(args.data, "out")
     times = []
+    engine = None
+    if args.reuse_engine:
+        from meshvae_tpu.infer.driver import InferenceEngine
+
+        engine = InferenceEngine(model, ops, mesh=trainer.mesh)
     for i in range(args.repeats + 1):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -98,7 +107,8 @@ def main():
                       template=np.asarray(template.v),
                       batch_size=args.batch_size,
                       faces=np.asarray(template.f),
-                      save_meshes=args.save_meshes, mesh=trainer.mesh)
+                      save_meshes=args.save_meshes, mesh=trainer.mesh,
+                      engine=engine)
         dt = time.time() - t0
         times.append(dt)
         print(f"run {i}: {dt:.3f}s "
@@ -114,6 +124,7 @@ def main():
         "method": args.method,
         "compute_dtype": args.compute_dtype,
         "save_meshes": bool(args.save_meshes),
+        "reuse_engine": bool(args.reuse_engine),
         "warm_s": round(warm, 3),
         "cold_s": round(times[0], 3),
     }

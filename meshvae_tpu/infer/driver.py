@@ -93,7 +93,9 @@ class InferenceEngine:
             "recon_orig": recon_orig,
             "oppo_orig": oppo_orig,
         }
-        # ground truth is absent in the serving-export path (infer/export.py)
+        # ground truth is absent in the serving-export path (infer/
+        # export.py — its output contract stays pred/recon_orig/oppo_orig);
+        # the scanned pipeline recomputes it from x instead of staging it
         if "original" in batch:
             err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2,
                                    axis=-1))
@@ -104,6 +106,16 @@ class InferenceEngine:
     def _scan_impl(self, params, batches, norm_mean, norm_std, ops,
                    collect_meshes: bool):
         def body(carry, batch):
+            # The dataset's `original` is exactly aligned @ R * s + m
+            # (mesh/procrustes.py contract) with aligned = x * std + mean,
+            # so the staged pipeline recomputes it on-device from the
+            # already-staged x (equal within f32 round-off) instead of
+            # shipping a second full [S, B, N, 3] tensor through the
+            # ~50 MB/s relay — it halved the config-4 pipeline upload.
+            if "original" not in batch:
+                batch = dict(batch, original=apply_inverse_similarity(
+                    batch["x"] * norm_std + norm_mean,
+                    batch["r"], batch["s"], batch["m"]))
             out = self._step_impl(params, batch, norm_mean, norm_std, ops)
             # per-mesh scalars packed into ONE [3, B] slab per step: the
             # whole dataset's pred/err_mean/err_max then costs a single
@@ -123,8 +135,10 @@ class InferenceEngine:
         axis dp-sharded / vertex axis sp-sharded under a mesh)."""
         from ..train.loop import stage_batch_arrays
 
+        # "original" deliberately NOT staged: _step_impl recomputes it
+        # on-device from x (equal within f32 round-off, half the upload)
         return stage_batch_arrays(loader, self.mesh,
-                                  ("x", "r", "s", "m", "original", "mask"),
+                                  ("x", "r", "s", "m", "mask"),
                                   with_index=True)
 
     def run_scanned(self, params, staged: dict, norm_mean, norm_std,
@@ -166,13 +180,17 @@ def run_inference(net_params, model, ops, output_path: str, mean, std,
                   config: dict, template, batch_size: int, faces,
                   write_pred: bool = True, write_error_list: bool = True,
                   write_inference: bool = True, save_meshes: bool = True,
-                  mesh=None):
+                  mesh=None, engine=None):
     dataset_index, labels = list_meshes(config, sex_from_filename=False)
     dataset = MeshDataset(dataset_index, config, labels,
                           template=np.asarray(template), dtype="test")
     loader = BatchIterator(dataset, batch_size, shuffle=False)
 
-    engine = InferenceEngine(model, ops, mesh=mesh)
+    # callers invoking run_inference repeatedly in one process (fold
+    # sweeps, serving loops) pass a reused engine: a fresh one pays ~5.7 s
+    # of jax retrace + lowering per call even with the XLA cache warm
+    if engine is None:
+        engine = InferenceEngine(model, ops, mesh=mesh)
     net_params = engine.replicate(net_params)
     mean = engine.replicate(jnp.asarray(mean))
     std = engine.replicate(jnp.asarray(std))
