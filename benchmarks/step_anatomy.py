@@ -139,8 +139,12 @@ def main():
     # backward the precomputed P^T gathers replace (ops/pool.py).
     results = {}
 
-    def loss_fn(p, rngs):
-        return trainer._forward_loss(p, batch, rngs, True, ops)[0]
+    # batch/ops/grads ride as jit ARGUMENTS everywhere below: closure-
+    # captured operators get embedded as module constants, which at 80k
+    # exceeds the remote compiler's request-size limit (HTTP 413) and at
+    # any scale constant-folds for minutes (CLAUDE.md gotcha 7)
+    def loss_fn(p, rngs, batch_, ops_):
+        return trainer._forward_loss(p, batch_, rngs, True, ops_)[0]
 
     def rngs_for(i):
         k = jax.random.fold_in(key, i)
@@ -148,16 +152,18 @@ def main():
                 "dropout": jax.random.fold_in(k, 1)}
 
     if "full" in want:
-        def full_scan(p, o):
+        def full_scan(p, o, batch_, ops_):
             def step(carry, i):
                 p, o = carry
-                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i))
+                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i),
+                                                          batch_, ops_)
                 updates, o = trainer.optimizer.update(grads, o, p)
                 p = optax.apply_updates(p, updates)
                 return (p, o), loss
             (_, _), losses = jax.lax.scan(step, (p, o), jnp.arange(S))
             return losses[-1]
-        results["full"] = timed("full", full_scan, params, opt_state)
+        results["full"] = timed("full", full_scan, params, opt_state,
+                                batch, ops)
 
     if "step_real" in want or "pose_error" in want:
         # the real step needs the pose-transform fields the loader carries
@@ -172,57 +178,59 @@ def main():
         ns = jnp.ones((n0, 3), jnp.float32)
 
     if "step_real" in want:
-        def step_real_scan(p, o):
+        def step_real_scan(p, o, fb, nm_, ns_, ops_):
             def step(carry, i):
                 p, o = carry
                 p, o, metrics = trainer._train_step_impl(
-                    p, o, full_batch, jax.random.fold_in(key, i), nm, ns,
-                    ops)
+                    p, o, fb, jax.random.fold_in(key, i), nm_, ns_, ops_)
                 return (p, o), metrics[0]
             (_, _), losses = jax.lax.scan(step, (p, o), jnp.arange(S))
             return losses[-1]
         results["step_real"] = timed("step_real", step_real_scan, params,
-                                     opt_state)
+                                     opt_state, full_batch, nm, ns, ops)
 
     if "pose_error" in want:
-        def pose_scan(x0):
+        def pose_scan(x0, fb, nm_, ns_):
             def step(x_, _):
                 # chain iterations through the timed tensor (gotcha 9b)
-                _, err = trainer._pose_error(x_, full_batch, nm, ns)
+                _, err = trainer._pose_error(x_, fb, nm_, ns_)
                 return x_ * (1.0 + 1e-12 * jnp.mean(err)), None
             xN, _ = jax.lax.scan(step, x0, jnp.arange(S))
             return jnp.sum(xN)
-        results["pose_error"] = timed("pose_error", pose_scan, batch["x"])
+        results["pose_error"] = timed("pose_error", pose_scan, batch["x"],
+                                      full_batch, nm, ns)
 
     if "grad" in want:
-        def grad_scan(p):
+        def grad_scan(p, batch_, ops_):
             def step(acc, i):
-                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i))
+                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i),
+                                                          batch_, ops_)
                 gs = jax.tree_util.tree_reduce(
                     lambda a, g: a + jnp.sum(jnp.square(
                         g.astype(jnp.float32))), grads, jnp.float32(0.0))
                 return acc + loss + 1e-12 * gs, None
             acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
             return acc
-        results["grad"] = timed("grad", grad_scan, params)
+        results["grad"] = timed("grad", grad_scan, params, batch, ops)
 
     if "fwd" in want:
-        def fwd_scan(p):
+        def fwd_scan(p, batch_, ops_):
             def step(acc, i):
-                return acc + loss_fn(p, rngs_for(i)), None
+                return acc + loss_fn(p, rngs_for(i), batch_, ops_), None
             acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
             return acc
-        results["fwd"] = timed("fwd", fwd_scan, params)
+        results["fwd"] = timed("fwd", fwd_scan, params, batch, ops)
 
     if "encode" in want:
-        def enc_scan(p):
+        def enc_scan(p, x_, ops_):
             def step(acc, i):
-                h = model.apply(p, batch["x"], ops, train=False,
+                h = model.apply(p, x_, ops_, train=False,
                                 method=type(model).encode)
                 return acc + jnp.sum(h.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
             return acc
-        results["encode"] = timed("encode", enc_scan, params)
+        results["encode"] = timed("encode", enc_scan, params, batch["x"],
+                                  ops)
 
     if "conv_l0" in want:
         from meshvae_tpu.ops.cheb import cheb_conv
@@ -230,14 +238,14 @@ def main():
         x0 = batch["x"].astype(cfg.dtype)
         wd = w.astype(cfg.dtype)
 
-        def conv_scan(xx):
+        def conv_scan(xx, lap0):
             def step(acc, _):
-                out = cheb_conv(xx, ops.lap[0], wd, None,
+                out = cheb_conv(xx, lap0, wd, None,
                                 method=args.method, precision=cfg.precision)
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
             return acc
-        results["conv_l0"] = timed("conv_l0", conv_scan, x0)
+        results["conv_l0"] = timed("conv_l0", conv_scan, x0, ops.lap[0])
 
     if "spmm_l0" in want and args.method == "pallas" \
             and ops.lap[0].bsr is not None:
@@ -247,16 +255,16 @@ def main():
         t = jnp.asarray(rng.standard_normal((bsr.n_pad, c)),
                         jnp.float32).astype(bsr.blocks.dtype)
 
-        def spmm_scan(t0):
+        def spmm_scan(t0, bsr_):
             def step(t, _):
                 # feed the output back in: chains the scan iterations so
                 # none can be elided, at the operand dtype the real
                 # recurrence uses
-                y = bsr_matmul(bsr, t, precision=cfg.precision)
+                y = bsr_matmul(bsr_, t, precision=cfg.precision)
                 return y.astype(t.dtype), None
             tN, _ = jax.lax.scan(step, t0, jnp.arange(S))
             return jnp.sum(tN.astype(jnp.float32))
-        results["spmm_l0"] = timed("spmm_l0", spmm_scan, t)
+        results["spmm_l0"] = timed("spmm_l0", spmm_scan, t, bsr)
 
     if "pools_grad" in want:
         from meshvae_tpu.ops import pool as pool_mod
@@ -265,18 +273,18 @@ def main():
                          jnp.float32).astype(cfg.dtype)
 
         def make_pools_grad(tag):
-            def chain(x_):
+            def chain(x_, ops_):
                 t = x_
-                for p_ in ops.down:
+                for p_ in ops_.down:
                     t = pool_apply(t, p_, method="gather")
-                for p_ in reversed(ops.up):
+                for p_ in reversed(ops_.up):
                     t = pool_apply(t, p_, method="gather")
                 return jnp.sum(jnp.square(t.astype(jnp.float32)))
 
-            def pools_scan(xx):
+            def pools_scan(xx, ops_):
                 def step(carry, _):
                     acc, x_ = carry
-                    l, g = jax.value_and_grad(chain)(x_)
+                    l, g = jax.value_and_grad(chain)(x_, ops_)
                     return (acc + l, x_ + g.astype(x_.dtype) * 1e-9), None
                 (acc, _), _ = jax.lax.scan(step, (jnp.float32(0.0), xx),
                                            jnp.arange(S))
@@ -290,7 +298,7 @@ def main():
             pool_mod.TRANSPOSE_GRAD = tg
             try:
                 results[f"pools_grad_tgrad{int(tg)}"] = timed(
-                    f"pools_t{int(tg)}", make_pools_grad(int(tg)), xp)
+                    f"pools_t{int(tg)}", make_pools_grad(int(tg)), xp, ops)
             finally:
                 pool_mod.TRANSPOSE_GRAD = old_tg
 
@@ -298,17 +306,18 @@ def main():
         grads = jax.tree_util.tree_map(
             lambda p: jnp.full_like(p, 1e-4), params)
 
-        def adam_scan(p, o):
+        def adam_scan(p, o, g):
             def step(carry, _):
                 p, o = carry
-                updates, o = trainer.optimizer.update(grads, o, p)
+                updates, o = trainer.optimizer.update(g, o, p)
                 p = optax.apply_updates(p, updates)
                 return (p, o), None
             (p, o), _ = jax.lax.scan(step, (p, o), jnp.arange(S))
             return jax.tree_util.tree_reduce(
                 lambda a, x: a + jnp.sum(x.astype(jnp.float32)), p,
                 jnp.float32(0.0))
-        results["adam"] = timed("adam", adam_scan, params, opt_state)
+        results["adam"] = timed("adam", adam_scan, params, opt_state,
+                                grads)
 
     meta = {"batch_size": b, "method": args.method,
             "compute_dtype": args.compute_dtype, "iters": S,

@@ -264,11 +264,22 @@ class Trainer:
 
     def _pose_error(self, recon, batch, norm_mean, norm_std):
         """Denormalize + inverse Procrustes + per-vertex euclidean error, all
-        on device. Returns [B, N]."""
+        on device. Returns [B, N].
+
+        The ground-truth pose is recomputed from x through the SAME
+        transform chain as the reconstruction (the dataset's `original` is
+        exactly aligned @ R * s + m with aligned = x * std + mean, see
+        mesh/procrustes.py) — equal within f32 round-off, and it keeps the
+        [S, B, N, 3] original tensor off the device entirely: at the 80k
+        workload that tensor is ~27 MB per batch of staged HBM and
+        relay upload for a value x already determines."""
         recon_mesh = recon * norm_std + norm_mean
-        recon_orig = apply_inverse_similarity(recon_mesh, batch["r"], batch["s"],
-                                              batch["m"])
-        err = jnp.sqrt(jnp.sum((recon_orig - batch["original"]) ** 2, axis=-1))
+        def to_orig(t):
+            return apply_inverse_similarity(t, batch["r"], batch["s"],
+                                            batch["m"])
+        recon_orig = to_orig(recon_mesh)
+        gt_orig = to_orig(batch["x"] * norm_std + norm_mean)
+        err = jnp.sqrt(jnp.sum((recon_orig - gt_orig) ** 2, axis=-1))
         return recon_orig, err
 
     def _train_step_impl(self, params, opt_state, batch, rng, norm_mean,
@@ -365,7 +376,9 @@ class Trainer:
     def _put(self, batch: dict) -> dict:
         from ..parallel.sharding import shard_batch
 
-        return shard_batch({k: v for k, v in batch.items() if k != "index"},
+        # "original" stays on host: _pose_error recomputes it from x
+        return shard_batch({k: v for k, v in batch.items()
+                            if k not in ("index", "original")},
                            self.mesh)
 
     def train_epoch(self, params, opt_state, loader, rng, norm_mean, norm_std):
@@ -404,9 +417,9 @@ class Trainer:
         with_index additionally stashes the dataset indices as a HOST
         "index" array [S, B] (needed by evaluate_scanned's mesh
         collection to name output files; never shipped to the device)."""
+        # "original" is not staged: _pose_error recomputes it from x
         return stage_batch_arrays(loader, self.mesh,
-                                  ("x", "label", "r", "s", "m", "original",
-                                   "mask"),
+                                  ("x", "label", "r", "s", "m", "mask"),
                                   with_index=with_index)
 
     # host-side staging keys that must never reach a jitted call
