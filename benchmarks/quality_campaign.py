@@ -12,6 +12,7 @@ claims:
   flagship_bf16 pallas + compute_dtype=bfloat16, bs128  (the flagship record)
   joint_high    joint_VAE, pallas + HIGH          (BASELINE config 3)
   scaled20k     pallas bf16 bs64 on the 20k template  (BASELINE config 5)
+  scaled80k     pallas bf16 bs32 on the 80k template  (the scale demo)
 
 Each leg drives the real `main.py` CLI (train + test) as a subprocess on a
 shared synthetic dataset, then the summary collates history{fold}.json curves
@@ -61,7 +62,14 @@ LEGS: dict[str, dict] = {
         "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
                       "matmul_precision": "default", "batch_size": "64",
                       "data_parallel": "1", "seq_parallel": "1"},
-        "template20k": True,
+        "template": "20k",
+    },
+    "scaled80k": {
+        "cfg": "files/scaled80k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "32",
+                      "data_parallel": "1", "seq_parallel": "1"},
+        "template": "80k",
     },
 }
 
@@ -168,6 +176,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--samples", type=int, default=640)
     ap.add_argument("--samples-20k", type=int, default=256)
+    ap.add_argument("--samples-80k", type=int, default=192)
     ap.add_argument("--folds", type=int, default=2)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--timeout", type=int, default=5400, help="per leg, s")
@@ -180,10 +189,12 @@ def main():
     for name in args.legs.split(","):
         name = name.strip()
         leg = LEGS[name]
-        if leg.get("template20k"):
+        scale = leg.get("template")
+        if scale:
+            n = {"20k": args.samples_20k, "80k": args.samples_80k}[scale]
             data_dir = ensure_dataset(
-                os.path.join(args.out, "20k"), args.samples_20k, args.seed,
-                os.path.join(REPO, "template/template20k.obj"))
+                os.path.join(args.out, scale), n, args.seed,
+                os.path.join(REPO, f"template/template{scale}.obj"))
         else:
             data_dir = data5k
         print(f"=== leg {name} ===", flush=True)
