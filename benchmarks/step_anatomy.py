@@ -12,6 +12,7 @@ this tool decomposes it so kernel work is aimed at the actual bottleneck:
   grad       fwd + bwd only (no optimizer)
   fwd        forward loss only
   encode     the 4-level encoder conv stack only
+  decode     the decoder (dense heads + unpool/conv stack + final conv)
   conv_l0    ONE level-0 ChebConv forward (the hot op at full resolution)
   spmm_l0    ONE level-0 SpMM propagation (the kernel alone)
   adam       optimizer.update + apply_updates with fixed gradients
@@ -114,10 +115,31 @@ def main():
     key = jax.random.key(1)
     S = args.iters
 
+    # Every timed call pays a fixed dispatch+relay-pull tax (~25 ms here)
+    # regardless of S (CLAUDE.md gotcha 9a). Measure it once with an empty
+    # S-iteration scan and subtract, so small components stay honest even
+    # at modest --iters.
+    def empty_scan(z):
+        def step(c, _):
+            return c * jnp.float32(1.0 + 1e-12), None
+        cN, _ = jax.lax.scan(step, z, jnp.arange(S))
+        return cN
+    jempty = jax.jit(empty_scan)
+    float(np.asarray(jempty(jnp.float32(1.0))))
+    overhead = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(jempty(jnp.float32(1.0))))
+        overhead = min(overhead, time.perf_counter() - t0)
+    print(f"  overhead   {overhead * 1e3:8.3f} ms/call (subtracted)",
+          file=sys.stderr)
+
     def timed(name, fn, *fn_args):
         """jit(fn), run once (compile + pull), then best-of-2 timed runs.
         fn must return ONE pullable array whose value depends on all S
-        iterations (defeats DCE; the pull is the device sync)."""
+        iterations (defeats DCE; the pull is the device sync). The scan
+        body must chain through the carry — a body whose operands are all
+        loop-invariant gets hoisted and times nothing (gotcha 9b)."""
         jfn = jax.jit(fn)
         out = float(np.asarray(jfn(*fn_args)).ravel()[0])  # compile + sync
         best = float("inf")
@@ -125,7 +147,7 @@ def main():
             t0 = time.perf_counter()
             out = float(np.asarray(jfn(*fn_args)).ravel()[0])
             best = min(best, time.perf_counter() - t0)
-        ms = best / S * 1e3
+        ms = max(best - overhead, 0.0) / S * 1e3
         print(f"  {name:10s} {ms:8.3f} ms/iter  (check={out:.4g})",
               file=sys.stderr)
         return ms
@@ -133,7 +155,7 @@ def main():
     want = (set(args.components.split(","))
             if args.components != "all"
             else {"full", "step_real", "pose_error", "grad", "fwd",
-                  "encode", "conv_l0", "spmm_l0", "adam"})
+                  "encode", "decode", "conv_l0", "spmm_l0", "adam"})
     # "pools_grad" (opt-in): grad through the full pool/unpool chain,
     # timed once per TRANSPOSE_GRAD setting — quantifies the scatter-add
     # backward the precomputed P^T gathers replace (ops/pool.py).
@@ -200,37 +222,59 @@ def main():
         results["pose_error"] = timed("pose_error", pose_scan, batch["x"],
                                       full_batch, nm, ns)
 
+    # grad/fwd chain the batch x through iterations: with a loop-invariant
+    # x and p, the deterministic encoder conv stack depends on nothing that
+    # varies per iteration (only dropout/latent rngs do), so XLA hoists it
+    # out of the scan and the component under-measures by the whole
+    # encoder (observed: fwd < encode + decode at 80k).
     if "grad" in want:
         def grad_scan(p, batch_, ops_):
-            def step(acc, i):
-                loss, grads = jax.value_and_grad(loss_fn)(p, rngs_for(i),
-                                                          batch_, ops_)
+            def step(x_, i):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, rngs_for(i), {**batch_, "x": x_}, ops_)
                 gs = jax.tree_util.tree_reduce(
                     lambda a, g: a + jnp.sum(jnp.square(
                         g.astype(jnp.float32))), grads, jnp.float32(0.0))
-                return acc + loss + 1e-12 * gs, None
-            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-            return acc
+                return x_ * (1.0 + 1e-12 * (loss + gs)), None
+            xN, _ = jax.lax.scan(step, batch_["x"], jnp.arange(S))
+            return jnp.sum(xN)
         results["grad"] = timed("grad", grad_scan, params, batch, ops)
 
     if "fwd" in want:
         def fwd_scan(p, batch_, ops_):
-            def step(acc, i):
-                return acc + loss_fn(p, rngs_for(i), batch_, ops_), None
-            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-            return acc
+            def step(x_, i):
+                loss = loss_fn(p, rngs_for(i), {**batch_, "x": x_}, ops_)
+                return x_ * (1.0 + 1e-12 * loss), None
+            xN, _ = jax.lax.scan(step, batch_["x"], jnp.arange(S))
+            return jnp.sum(xN)
         results["fwd"] = timed("fwd", fwd_scan, params, batch, ops)
 
     if "encode" in want:
-        def enc_scan(p, x_, ops_):
-            def step(acc, i):
+        def enc_scan(p, x0, ops_):
+            def step(x_, _):
                 h = model.apply(p, x_, ops_, train=False,
                                 method=type(model).encode)
-                return acc + jnp.sum(h.astype(jnp.float32)), None
-            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-            return acc
+                # chain iterations through the input (gotcha 9b): a body
+                # with only loop-invariant operands gets hoisted
+                return x_ * (1.0 + 1e-12 * jnp.mean(h.astype(jnp.float32))
+                             ), None
+            xN, _ = jax.lax.scan(step, x0, jnp.arange(S))
+            return jnp.sum(xN)
         results["encode"] = timed("encode", enc_scan, params, batch["x"],
                                   ops)
+
+    if "decode" in want:
+        z0 = jnp.asarray(rng.standard_normal(
+            (b, cfg.latent + cfg.num_classes)), jnp.float32)
+
+        def dec_scan(p, z_, ops_):
+            def step(zz, _):
+                r = model.apply(p, zz, ops_, train=False,
+                                method=type(model).decode)
+                return zz * (1.0 + 1e-12 * jnp.mean(r)), None
+            zN, _ = jax.lax.scan(step, z_, jnp.arange(S))
+            return jnp.sum(zN)
+        results["decode"] = timed("decode", dec_scan, params, z0, ops)
 
     if "conv_l0" in want:
         from meshvae_tpu.ops.cheb import cheb_conv
@@ -239,12 +283,14 @@ def main():
         wd = w.astype(cfg.dtype)
 
         def conv_scan(xx, lap0):
-            def step(acc, _):
-                out = cheb_conv(xx, lap0, wd, None,
+            def step(x_, _):
+                out = cheb_conv(x_, lap0, wd, None,
                                 method=args.method, precision=cfg.precision)
-                return acc + jnp.sum(out.astype(jnp.float32)), None
-            acc, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(S))
-            return acc
+                # feed 3 of the 16 output channels back in: chains the
+                # iterations so the conv cannot be hoisted (gotcha 9b)
+                return out[..., :3].astype(x_.dtype), None
+            xN, _ = jax.lax.scan(step, xx, jnp.arange(S))
+            return jnp.sum(xN.astype(jnp.float32))
         results["conv_l0"] = timed("conv_l0", conv_scan, x0, ops.lap[0])
 
     if "spmm_l0" in want and args.method == "pallas" \
