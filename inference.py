@@ -26,6 +26,12 @@ def main():
                         help="write inference.json")
     parser.add_argument("--no-meshes", action="store_true",
                         help="skip writing recon/gt/oppo .obj files")
+    parser.add_argument("--serve", action="store_true",
+                        help="start a warm-engine serving loop instead of a "
+                             "one-shot run: reads mesh/directory paths line "
+                             "by line from stdin, answers JSON lines on "
+                             "stdout (compile once, serve many; see "
+                             "meshvae_tpu/infer/serve.py)")
     parser.add_argument("--export", metavar="PATH", default=None,
                         help="instead of running inference, serialize the "
                              "whole jitted serving step (params + operators "
@@ -94,6 +100,23 @@ def main():
         save_serving_artifact(args.export, data)
         print(f"serving artifact written to {args.export} "
               f"({len(data) / 1e6:.1f} MB)")
+        return
+
+    if args.serve:
+        import json
+        import sys
+
+        from meshvae_tpu.infer.serve import MeshServer
+        server = MeshServer(
+            model, ops, params, mean, std,
+            template=np.asarray(template.v), faces=np.asarray(template.f),
+            batch_size=int(config["batch_size"]),
+            output_path=args.output_path, save_meshes=not args.no_meshes,
+            mesh=trainer.mesh)
+        sec = server.warmup()
+        print(json.dumps({"ready": True, "warmup_sec": round(sec, 2),
+                          "batch_size": server.batch_size}), flush=True)
+        server.serve_forever(sys.stdin, sys.stdout)
         return
 
     any_selected = args.pred or args.error_list or args.inference

@@ -1,0 +1,209 @@
+"""Warm-engine serving loop behind `inference.py --serve`.
+
+The reference's deployment story ends at a batch CLI
+(/root/reference/inference.py:63-157): every invocation re-imports the
+stack, rebuilds the hierarchy, and re-traces the model. A production TPU
+deployment wants the opposite shape — a long-lived process that compiles
+once and answers requests at the reused-engine rate (BASELINE.md
+"whole-pipeline inference": 61.8 meshes/sec fresh process vs 223 warm).
+
+This module is that process. Protocol: line-oriented stdio, so it composes
+with any supervisor, socket wrapper, or shell pipe and is trivially
+testable:
+
+  stdin   one request per line — a path to an ``.obj`` mesh, or a
+          directory (every ``*.obj`` directly inside). Blank lines are
+          ignored. EOF shuts the server down.
+  stdout  one JSON line per input mesh::
+
+              {"file": ..., "sex": 0|1,
+               "reconstruction_error": {"mean": ..., "max": ...},
+               "recon": path, "oppo": path}     # paths with save_meshes
+
+          then one ``{"done": N, "sec": T}`` line per request line.
+          Malformed requests answer ``{"error": ...}`` and keep serving.
+
+TPU-first mechanics: requests pad to the engine's static batch size
+(static shapes by design — no per-size recompiles), larger requests chunk,
+and the per-batch device pulls are packed into one ``[3, B]`` scalar slab
+(pred / err_mean / err_max) so a request costs one ~25 ms relay round-trip
+plus the optional mesh stacks, not five (the round-3 inference-CLI lesson,
+see infer/driver.py)."""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.io import load_obj, save_obj
+from ..mesh.procrustes import procrustes_align
+from .driver import InferenceEngine
+
+
+def list_request_meshes(path: str) -> list[str]:
+    """A request line resolves to mesh paths: one .obj, or a directory's
+    top-level *.obj files (sorted for deterministic output order)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".obj"))
+    return [path]
+
+
+class MeshServer:
+    """One warm InferenceEngine + preprocessing, shared across requests.
+
+    Owns the request lifecycle: OBJ ingest -> Procrustes align to the
+    training template -> normalize with the fold's stats -> pad/chunk to
+    the static batch -> one jitted step per chunk -> packed pull -> JSON
+    results (+ optional recon/oppo/gt mesh triples, mirroring
+    run_inference's sex_change/ layout)."""
+
+    def __init__(self, model, ops, params, norm_mean, norm_std, template,
+                 faces, batch_size: int, output_path: str = ".",
+                 save_meshes: bool = False, mesh=None, engine=None):
+        self.engine = engine or InferenceEngine(model, ops, mesh=mesh)
+        self.params = self.engine.replicate(params)
+        self.mean_dev = self.engine.replicate(jnp.asarray(norm_mean))
+        self.std_dev = self.engine.replicate(jnp.asarray(norm_std))
+        self.mean = np.asarray(norm_mean, np.float32)
+        self.std = np.asarray(norm_std, np.float32)
+        self.template = np.asarray(template, np.float32)
+        self.faces = faces
+        self.batch_size = int(batch_size)
+        self.output_path = output_path
+        self.save_meshes = save_meshes
+        self.mesh_dir = os.path.join(output_path, "sex_change")
+        # two step variants: the light one never materializes the mesh
+        # stacks (XLA DCEs the decoder outputs' original-pose transform)
+        self._steps = {
+            True: jax.jit(functools.partial(self._serve_impl, collect=True)),
+            False: jax.jit(functools.partial(self._serve_impl,
+                                             collect=False)),
+        }
+
+    # --- device side ------------------------------------------------------
+
+    def _serve_impl(self, params, batch, mean, std, ops, collect: bool):
+        out = self.engine._step_impl(params, batch, mean, std, ops)
+        res = {"packed": jnp.stack([out["pred"].astype(jnp.float32),
+                                    out["err_mean"], out["err_max"]])}
+        if collect:
+            res["recon_orig"] = out["recon_orig"]
+            res["oppo_orig"] = out["oppo_orig"]
+        return res
+
+    # --- host side --------------------------------------------------------
+
+    def preprocess(self, paths: list[str]) -> dict:
+        """Host ingest for one chunk: align + normalize each mesh.
+        Vertex counts must match the training template (static shapes)."""
+        xs, rs, ss, ms, orig = [], [], [], [], []
+        n = self.template.shape[0]
+        for p in paths:
+            points = np.asarray(load_obj(p).v)
+            if points.shape[0] != n:
+                raise ValueError(
+                    f"{p}: {points.shape[0]} vertices, template has {n}")
+            aligned, (r, s, m), _ = procrustes_align(self.template, points)
+            xs.append(((aligned - self.mean) / self.std).astype(np.float32))
+            orig.append(points.astype(np.float32))
+            rs.append(r.astype(np.float32))
+            ss.append(np.float32(s))
+            ms.append(m.astype(np.float32))
+        return {"x": np.stack(xs), "r": np.stack(rs),
+                "s": np.asarray(ss, np.float32), "m": np.stack(ms),
+                "original": np.stack(orig)}
+
+    def handle(self, paths: list[str]) -> list[dict]:
+        """Run one request (any number of meshes); returns one result dict
+        per input path, writing mesh triples when save_meshes."""
+        results = []
+        if self.save_meshes:
+            os.makedirs(self.mesh_dir, exist_ok=True)
+        step = self._steps[self.save_meshes]
+        bs = self.batch_size
+        for start in range(0, len(paths), bs):
+            chunk = paths[start:start + bs]
+            host = self.preprocess(chunk)
+            pad = bs - len(chunk)
+            if pad:  # static batch: repeat the last row, mask via slicing
+                host = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                        for k, v in host.items()}
+            batch = self.engine.put_batch(host)
+            out = step(self.params, batch, self.mean_dev, self.std_dev,
+                       self.engine.ops)
+            packed = np.asarray(out["packed"])  # ONE scalar pull
+            if self.save_meshes:
+                recon = np.asarray(out["recon_orig"])
+                oppo = np.asarray(out["oppo_orig"])
+            for i, p in enumerate(chunk):
+                name = os.path.basename(p)
+                res = {
+                    "file": name,
+                    "sex": int(packed[0, i]),
+                    "reconstruction_error": {"mean": float(packed[1, i]),
+                                             "max": float(packed[2, i])},
+                }
+                if self.save_meshes:
+                    stem = name.rsplit(".", 1)[0]
+                    rp = os.path.join(self.mesh_dir, stem + "_recon.obj")
+                    op = os.path.join(self.mesh_dir, stem + ".obj")
+                    save_obj(rp, recon[i], self.faces)
+                    save_obj(os.path.join(self.mesh_dir, stem + "_gt.obj"),
+                             host["original"][i], self.faces)
+                    save_obj(op, oppo[i], self.faces)
+                    res["recon"] = rp
+                    res["oppo"] = op
+                results.append(res)
+        return results
+
+    def warmup(self) -> float:
+        """Trace + compile the serving step before the first request (a
+        fresh engine pays ~5.7 s of retrace; see BASELINE.md). Returns
+        seconds spent."""
+        t0 = time.perf_counter()
+        n = self.template.shape[0]
+        bs = self.batch_size
+        host = {
+            "x": np.zeros((bs, n, 3), np.float32),
+            "r": np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1)),
+            "s": np.ones((bs,), np.float32),
+            "m": np.zeros((bs, 1, 3), np.float32),
+            "original": np.tile(self.template[None], (bs, 1, 1)),
+        }
+        batch = self.engine.put_batch(host)
+        out = self._steps[self.save_meshes](
+            self.params, batch, self.mean_dev, self.std_dev,
+            self.engine.ops)
+        np.asarray(out["packed"])  # block until the executable really ran
+        return time.perf_counter() - t0
+
+    def serve_forever(self, fin, fout) -> None:
+        """Blocking stdio loop; EOF on fin ends it."""
+        for line in fin:
+            req = line.strip()
+            if not req:
+                continue
+            t0 = time.perf_counter()
+            try:
+                paths = list_request_meshes(req)
+                if not paths:
+                    raise FileNotFoundError(f"no .obj meshes at {req}")
+                results = self.handle(paths)
+            except Exception as exc:  # keep serving across bad requests
+                fout.write(json.dumps({"error": f"{req}: {exc}"}) + "\n")
+                fout.flush()
+                continue
+            for res in results:
+                fout.write(json.dumps(res) + "\n")
+            fout.write(json.dumps(
+                {"done": len(results),
+                 "sec": round(time.perf_counter() - t0, 4)}) + "\n")
+            fout.flush()

@@ -14,43 +14,8 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture(scope="module")
-def trained_env(tmp_path_factory):
-    """Train 1 fold for 2 epochs on a tiny synthetic setup; reuse for all
-    CLI-layer tests."""
-    from meshvae_tpu.config import default_config
-    from meshvae_tpu.data.synthetic import generate_synthetic_dataset
-    from meshvae_tpu.mesh.io import save_obj
-    from meshvae_tpu.train.driver import run
-    from conftest import make_grid_mesh
-
-    root = str(tmp_path_factory.mktemp("cli"))
-    template = make_grid_mesh(8, jitter=0.05)
-    template_path = os.path.join(root, "template.obj")
-    save_obj(template_path, template.v, template.f)
-    data_dir = os.path.join(root, "data")
-    generate_synthetic_dataset(template, data_dir, n_samples=16, seed=1)
-
-    config = default_config()
-    config.update({
-        "checkpoint_dir": os.path.join(root, "ckpt"),
-        "template": template_path,
-        "root_dir": data_dir,
-        "log_file": os.path.join(root, "ckpt", "log.txt"),
-        "folds": 2,
-        "test_size": 0.25,
-        "n_layers": 2,
-        "num_hidden": 16,
-        "num_style": 4,
-        "downsampling_factors": [2, 2],
-        "polygon_order": [3, 3, 3],
-        "num_conv_filters": [8, 16, 16],
-        "batch_size": 4,
-        "epoch": 2,
-        "hierarchy_cache_dir": os.path.join(root, "cache"),
-    })
-    run(config, do_train=True, do_test=False)
-    return config, template, root
+# trained_env (session-scoped tiny train run) lives in conftest.py —
+# shared with tests/test_serve.py
 
 
 class TestInference:
