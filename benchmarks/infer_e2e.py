@@ -42,6 +42,10 @@ def main():
                     help="share one InferenceEngine across repeats (the "
                          "fold-sweep / serving-loop pattern): skips the "
                          "~5.7s per-call jax retrace+lowering)")
+    ap.add_argument("--serve", action="store_true",
+                    help="time the warm MeshServer path instead "
+                         "(inference.py --serve): one directory request of "
+                         "all samples per repeat, after warmup()")
     ap.add_argument("--data", default="/tmp/infer_e2e")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -96,27 +100,50 @@ def main():
     out_dir = os.path.join(args.data, "out")
     times = []
     engine = None
-    if args.reuse_engine:
-        from meshvae_tpu.infer.driver import InferenceEngine
+    if args.serve:
+        from meshvae_tpu.infer.serve import MeshServer, list_request_meshes
 
-        engine = InferenceEngine(model, ops, mesh=trainer.mesh)
-    for i in range(args.repeats + 1):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        run_inference(params, model, ops, out_dir, mean, std, config,
-                      template=np.asarray(template.v),
-                      batch_size=args.batch_size,
-                      faces=np.asarray(template.f),
-                      save_meshes=args.save_meshes, mesh=trainer.mesh,
-                      engine=engine)
-        dt = time.time() - t0
-        times.append(dt)
-        print(f"run {i}: {dt:.3f}s "
-              f"({args.samples / dt:.1f} meshes/sec)", flush=True)
+        server = MeshServer(
+            model, ops, params, mean, std,
+            template=np.asarray(template.v), faces=np.asarray(template.f),
+            batch_size=args.batch_size, output_path=out_dir,
+            save_meshes=args.save_meshes, mesh=trainer.mesh)
+        print(f"warmup: {server.warmup():.2f}s", flush=True)
+        paths = [p for p in list_request_meshes(data_dir)
+                 if not os.path.basename(p).startswith(".")]
+        assert len(paths) == args.samples, (len(paths), args.samples)
+        for i in range(args.repeats):
+            t0 = time.time()
+            results = server.handle(paths)
+            dt = time.time() - t0
+            assert len(results) == args.samples
+            times.append(dt)
+            print(f"request {i}: {dt:.3f}s "
+                  f"({args.samples / dt:.1f} meshes/sec)", flush=True)
+        times = [float("inf")] + times  # warm = min over the requests
+    else:
+        if args.reuse_engine:
+            from meshvae_tpu.infer.driver import InferenceEngine
+
+            engine = InferenceEngine(model, ops, mesh=trainer.mesh)
+        for i in range(args.repeats + 1):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            run_inference(params, model, ops, out_dir, mean, std, config,
+                          template=np.asarray(template.v),
+                          batch_size=args.batch_size,
+                          faces=np.asarray(template.f),
+                          save_meshes=args.save_meshes, mesh=trainer.mesh,
+                          engine=engine)
+            dt = time.time() - t0
+            times.append(dt)
+            print(f"run {i}: {dt:.3f}s "
+                  f"({args.samples / dt:.1f} meshes/sec)", flush=True)
 
     warm = min(times[1:])
     result = {
-        "metric": "inference_pipeline_meshes_per_sec",
+        "metric": ("serving_loop_meshes_per_sec" if args.serve
+                   else "inference_pipeline_meshes_per_sec"),
         "value": round(args.samples / warm, 1),
         "unit": "meshes/sec",
         "samples": args.samples,
@@ -125,8 +152,9 @@ def main():
         "compute_dtype": args.compute_dtype,
         "save_meshes": bool(args.save_meshes),
         "reuse_engine": bool(args.reuse_engine),
+        "serve": bool(args.serve),
         "warm_s": round(warm, 3),
-        "cold_s": round(times[0], 3),
+        "cold_s": None if args.serve else round(times[0], 3),
     }
     print(json.dumps(result))
 

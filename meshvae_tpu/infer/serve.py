@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.io import load_obj, save_obj
-from ..mesh.procrustes import procrustes_align
+from ..mesh.procrustes import apply_inverse_similarity, procrustes_align
 from .driver import InferenceEngine
 
 
@@ -91,6 +91,12 @@ class MeshServer:
     # --- device side ------------------------------------------------------
 
     def _serve_impl(self, params, batch, mean, std, ops, collect: bool):
+        # the ground-truth pose tensor is recomputed on-device from the
+        # staged x (the infer/driver.py scan trick): aligned @ R * s + m
+        # with aligned = x * std + mean — shipping it would double the
+        # chunk upload through the ~50 MB/s relay
+        batch = dict(batch, original=apply_inverse_similarity(
+            batch["x"] * std + mean, batch["r"], batch["s"], batch["m"]))
         out = self.engine._step_impl(params, batch, mean, std, ops)
         res = {"packed": jnp.stack([out["pred"].astype(jnp.float32),
                                     out["err_mean"], out["err_max"]])}
@@ -136,7 +142,8 @@ class MeshServer:
             if pad:  # static batch: repeat the last row, mask via slicing
                 host = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                         for k, v in host.items()}
-            batch = self.engine.put_batch(host)
+            batch = self.engine.put_batch(
+                {k: v for k, v in host.items() if k != "original"})
             out = step(self.params, batch, self.mean_dev, self.std_dev,
                        self.engine.ops)
             packed = np.asarray(out["packed"])  # ONE scalar pull
@@ -176,7 +183,6 @@ class MeshServer:
             "r": np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1)),
             "s": np.ones((bs,), np.float32),
             "m": np.zeros((bs, 1, 3), np.float32),
-            "original": np.tile(self.template[None], (bs, 1, 1)),
         }
         batch = self.engine.put_batch(host)
         out = self._steps[self.save_meshes](
