@@ -28,13 +28,16 @@ TPU-first mechanics: requests pad to the engine's static batch size
 and the per-batch device pulls are packed into one ``[3, B]`` scalar slab
 (pred / err_mean / err_max) so a request costs one ~25 ms relay round-trip
 plus the optional mesh stacks, not five (the round-3 inference-CLI lesson,
-see infer/driver.py)."""
+see infer/driver.py). Multi-chunk requests run a two-lane software
+pipeline: host preprocessing of chunk i+1 overlaps the device lane's
+upload/step/pull of chunk i (see ``handle``)."""
 from __future__ import annotations
 
 import functools
 import json
 import os
 import time
+from concurrent import futures
 
 import numpy as np
 
@@ -87,6 +90,10 @@ class MeshServer:
             False: jax.jit(functools.partial(self._serve_impl,
                                              collect=False)),
         }
+        # single-worker device lane: overlaps relay upload/step/pull of
+        # chunk i with the main thread's preprocess of chunk i+1 while
+        # keeping every jax call on one thread (see handle())
+        self._device_lane = futures.ThreadPoolExecutor(max_workers=1)
 
     # --- device side ------------------------------------------------------
 
@@ -127,14 +134,63 @@ class MeshServer:
                 "s": np.asarray(ss, np.float32), "m": np.stack(ms),
                 "original": np.stack(orig)}
 
+    def _device_chunk(self, host: dict) -> dict:
+        """Upload one padded chunk, run the jitted step, pull the results.
+        Runs on the single device-lane thread: all relay traffic (upload,
+        dispatch, pulls) serializes there, overlapping the main thread's
+        OBJ ingest + Procrustes of the NEXT chunk."""
+        batch = self.engine.put_batch(
+            {k: v for k, v in host.items() if k != "original"})
+        out = self._steps[self.save_meshes](
+            self.params, batch, self.mean_dev, self.std_dev,
+            self.engine.ops)
+        pulled = {"packed": np.asarray(out["packed"])}  # ONE scalar pull
+        if self.save_meshes:
+            pulled["recon"] = np.asarray(out["recon_orig"])
+            pulled["oppo"] = np.asarray(out["oppo_orig"])
+        return pulled
+
+    def _emit(self, pulled: dict, chunk: list[str], host: dict) -> list[dict]:
+        """Result dicts (+ recon/gt/oppo writes) for one finished chunk;
+        padding rows (indices past len(chunk)) never emit."""
+        results = []
+        packed = pulled["packed"]
+        for i, p in enumerate(chunk):
+            name = os.path.basename(p)
+            res = {
+                "file": name,
+                "sex": int(packed[0, i]),
+                "reconstruction_error": {"mean": float(packed[1, i]),
+                                         "max": float(packed[2, i])},
+            }
+            if self.save_meshes:
+                stem = name.rsplit(".", 1)[0]
+                rp = os.path.join(self.mesh_dir, stem + "_recon.obj")
+                op = os.path.join(self.mesh_dir, stem + ".obj")
+                save_obj(rp, pulled["recon"][i], self.faces)
+                save_obj(os.path.join(self.mesh_dir, stem + "_gt.obj"),
+                         host["original"][i], self.faces)
+                save_obj(op, pulled["oppo"][i], self.faces)
+                res["recon"] = rp
+                res["oppo"] = op
+            results.append(res)
+        return results
+
     def handle(self, paths: list[str]) -> list[dict]:
         """Run one request (any number of meshes); returns one result dict
-        per input path, writing mesh triples when save_meshes."""
+        per input path, writing mesh triples when save_meshes.
+
+        Two-lane software pipeline: the main thread preprocesses chunk
+        i+1 (OBJ parse + Procrustes, the long pole at ~0.45 s per bs128
+        chunk) while the device lane ships chunk i through the relay and
+        runs the step — multi-chunk requests cost ~max(host, device) per
+        chunk instead of their sum. One worker thread means all jax calls
+        stay serialized."""
         results = []
         if self.save_meshes:
             os.makedirs(self.mesh_dir, exist_ok=True)
-        step = self._steps[self.save_meshes]
         bs = self.batch_size
+        pending = None  # (future, chunk, host) for the in-flight chunk
         for start in range(0, len(paths), bs):
             chunk = paths[start:start + bs]
             host = self.preprocess(chunk)
@@ -142,33 +198,12 @@ class MeshServer:
             if pad:  # static batch: repeat the last row, mask via slicing
                 host = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                         for k, v in host.items()}
-            batch = self.engine.put_batch(
-                {k: v for k, v in host.items() if k != "original"})
-            out = step(self.params, batch, self.mean_dev, self.std_dev,
-                       self.engine.ops)
-            packed = np.asarray(out["packed"])  # ONE scalar pull
-            if self.save_meshes:
-                recon = np.asarray(out["recon_orig"])
-                oppo = np.asarray(out["oppo_orig"])
-            for i, p in enumerate(chunk):
-                name = os.path.basename(p)
-                res = {
-                    "file": name,
-                    "sex": int(packed[0, i]),
-                    "reconstruction_error": {"mean": float(packed[1, i]),
-                                             "max": float(packed[2, i])},
-                }
-                if self.save_meshes:
-                    stem = name.rsplit(".", 1)[0]
-                    rp = os.path.join(self.mesh_dir, stem + "_recon.obj")
-                    op = os.path.join(self.mesh_dir, stem + ".obj")
-                    save_obj(rp, recon[i], self.faces)
-                    save_obj(os.path.join(self.mesh_dir, stem + "_gt.obj"),
-                             host["original"][i], self.faces)
-                    save_obj(op, oppo[i], self.faces)
-                    res["recon"] = rp
-                    res["oppo"] = op
-                results.append(res)
+            fut = self._device_lane.submit(self._device_chunk, host)
+            if pending is not None:
+                results.extend(self._emit(pending[0].result(), *pending[1:]))
+            pending = (fut, chunk, host)
+        if pending is not None:
+            results.extend(self._emit(pending[0].result(), *pending[1:]))
         return results
 
     def warmup(self) -> float:
