@@ -393,6 +393,68 @@ class TestJointParallel:
         np.testing.assert_allclose(err8, err1, rtol=1e-4, atol=1e-5)
 
 
+class TestServeParallel:
+    """The warm serving loop (infer/serve.py) under dp/sp sharding: a
+    multi-chunk request through the pipelined handle() must score each
+    mesh identically to the unsharded server."""
+
+    @pytest.fixture(scope="class")
+    def serve_env(self, tmp_path_factory):
+        template = make_grid_mesh(8, jitter=0.05)
+        hier = build_hierarchy(template, [2, 2])
+        ops = build_operators(hier)
+        cfg = VAEConfig.from_config({
+            "num_conv_filters": [8, 16, 16], "polygon_order": [3, 3, 3],
+            "n_layers": 2, "num_hidden": 32, "num_style": 8,
+            "num_classes": 2, "dropout": 0.0,
+        }, coarse_verts=hier.levels[-1])
+        model = MeshVAE(cfg)
+        n0 = hier.levels[0]
+        params = model.init({"params": jax.random.key(0)},
+                            jnp.zeros((1, n0, 3)), jnp.zeros((1, 2)), ops,
+                            train=False)
+        data_dir = str(tmp_path_factory.mktemp("serve_par"))
+        generate_synthetic_dataset(template, data_dir, n_samples=12, seed=2)
+        import os
+        paths = sorted(os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                       if f.endswith(".obj"))
+        mean = np.zeros((n0, 3), np.float32)
+        std = np.ones((n0, 3), np.float32)
+        return model, ops, params, template, paths, mean, std
+
+    def _scores(self, serve_env, dmesh):
+        from meshvae_tpu.infer.serve import MeshServer
+
+        model, ops, params, template, paths, mean, std = serve_env
+        server = MeshServer(model, ops, params, mean, std,
+                            template=np.asarray(template.v),
+                            faces=np.asarray(template.f), batch_size=8,
+                            save_meshes=False, mesh=dmesh)
+        return server.handle(paths)  # 12 meshes / bs8 -> 2 pipelined chunks
+
+    def test_dp8_matches_single_device(self, serve_env):
+        res1 = self._scores(serve_env, None)
+        res8 = self._scores(serve_env, make_device_mesh(dp=8))
+        assert [r["file"] for r in res8] == [r["file"] for r in res1]
+        for r8, r1 in zip(res8, res1):
+            assert r8["sex"] == r1["sex"]
+            np.testing.assert_allclose(
+                r8["reconstruction_error"]["mean"],
+                r1["reconstruction_error"]["mean"], rtol=1e-4)
+            np.testing.assert_allclose(
+                r8["reconstruction_error"]["max"],
+                r1["reconstruction_error"]["max"], rtol=1e-4)
+
+    def test_dp4_sp2_matches_single_device(self, serve_env):
+        res1 = self._scores(serve_env, None)
+        resm = self._scores(serve_env, make_device_mesh(dp=4, sp=2))
+        for rm, r1 in zip(resm, res1):
+            assert rm["sex"] == r1["sex"]
+            np.testing.assert_allclose(
+                rm["reconstruction_error"]["mean"],
+                r1["reconstruction_error"]["mean"], rtol=1e-4)
+
+
 class TestMultihostInit:
     """maybe_init_multihost plumbs config -> jax.distributed.initialize
     (auto-detect when fields are unset, explicit otherwise)."""
