@@ -723,6 +723,17 @@ class TestMultiRowGrouped:
         # VMEM budget binds: huge per-row cost -> 1
         assert pc._pick_group_rows(40, 4, 128, False,
                                    pc.GROUP_VMEM_BUDGET) == 1
+        # an explicit GROUP_ROWS override still clamps to the VMEM budget
+        # (round-3 advisor finding: oversized sweep values must degrade,
+        # not hit Mosaic VMEM exhaustion)
+        old = pc.GROUP_ROWS
+        pc.GROUP_ROWS = 64
+        try:
+            per_row = pc.GROUP_VMEM_BUDGET // 4  # budget caps at 4 rows
+            r_env = pc._pick_group_rows(40, 4, 128, False, per_row)
+            assert r_env <= 4 and 40 % r_env == 0
+        finally:
+            pc.GROUP_ROWS = old
 
     def test_row_multiple_padding(self):
         """Row counts are padded to a multiple of 8 when the overhead is
