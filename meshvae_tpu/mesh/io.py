@@ -66,9 +66,10 @@ def _parse_obj_fast(text: str):
 def load_obj(path: str) -> TriMesh:
     """Parse a Wavefront OBJ file (v/f lines; polygonal faces are
     fan-triangulated). Three tiers, same result: the native C parser
-    (~1 ms/mesh — the reference's loaders are native too), the vectorized
-    numpy parser (~14 ms), then the general per-token parser for any OBJ
-    construct outside the plain-triangle dialect."""
+    (~0.6 ms/mesh with its exact fixed-point fast path — the reference's
+    loaders are native too), the vectorized numpy parser (~14 ms), then
+    the general per-token parser for any OBJ construct outside the
+    plain-triangle dialect."""
     from ..native import obj_parse_native
 
     native = obj_parse_native(path)

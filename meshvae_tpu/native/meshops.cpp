@@ -395,13 +395,66 @@ void meshops_transfer(const double *src_v, int64_t src_nv,
 // the data-loader hot path. The reference's loaders are native too
 // (psbody-mesh / open3d, /root/reference/data.py:140); the pure-Python
 // parser costs ~15 ms per 5k-vertex mesh, which dominated the whole
-// inference pipeline at 512 meshes. Single pass with strtod/strtoll.
+// inference pipeline at 512 meshes. Single pass; numbers go through the
+// exact fixed-point fast path below (strtod only on exponents/long
+// mantissas — strtod itself was ~75% of the parse at ~45k tokens/mesh).
 //
 // Returns 0 on success (writing *nv / *nf counts), -1 if the file can't
 // be read, -2 on any construct outside the dialect (texture/normal
 // indices, polygons, negative indices, vertex w components) — the caller
 // falls back to the general Python parser — and -3 if caller capacity is
 // exceeded. Faces are written 0-based.
+
+// Fast decimal fixed-point parse, BIT-IDENTICAL to strtod on its fast
+// path: for <= 15 significant digits the mantissa is exact in uint64
+// (10^15 < 2^53), 10^frac is exactly representable for frac <= 22, and
+// IEEE division is correctly rounded — so mant / 10^frac IS the
+// correctly-rounded double strtod would produce (the classic JSON-parser
+// fast path; bit-exactness matters here because the hierarchy golden
+// tests hash vertex bits). Exponents / long mantissas fall back to
+// strtod. strtod itself is ~10x slower per token (locale machinery),
+// and a 5k-vertex mesh is ~45k tokens.
+static const double kPow10[23] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
+    1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+static inline const char *parse_double_fast(const char *p, double *out,
+                                            bool *ok) {
+  while (*p == ' ' || *p == '\t') ++p;
+  const char *start = p;
+  bool neg = false;
+  if (*p == '-' || *p == '+') {
+    neg = (*p == '-');
+    ++p;
+  }
+  uint64_t mant = 0;
+  int digits = 0, frac = 0;
+  while (*p >= '0' && *p <= '9') {
+    mant = mant * 10 + (uint64_t)(*p - '0');
+    ++digits;
+    ++p;
+  }
+  if (*p == '.') {
+    ++p;
+    while (*p >= '0' && *p <= '9') {
+      mant = mant * 10 + (uint64_t)(*p - '0');
+      ++digits;
+      ++frac;
+      ++p;
+    }
+  }
+  if (digits == 0 || digits > 15 || frac > 22 || *p == 'e' || *p == 'E') {
+    char *q;
+    *out = std::strtod(start, &q);
+    *ok = (q != start);
+    return q;
+  }
+  double v = (double)mant / kPow10[frac];
+  *out = neg ? -v : v;
+  *ok = true;
+  return p;
+}
+
 int64_t meshops_obj_parse(const char *path, double *verts, int64_t v_cap,
                           int64_t *faces, int64_t f_cap, int64_t *nv,
                           int64_t *nf) {
@@ -425,10 +478,11 @@ int64_t meshops_obj_parse(const char *path, double *verts, int64_t v_cap,
     if (p[0] == 'v' && p[1] == ' ') {
       if (cv >= v_cap) return -3;
       p += 2;
-      char *q;
       for (int k = 0; k < 3; ++k) {
-        double x = std::strtod(p, &q);
-        if (q == p) return -2;
+        double x;
+        bool ok;
+        const char *q = parse_double_fast(p, &x, &ok);
+        if (!ok) return -2;
         verts[3 * cv + k] = x;
         p = q;
       }
@@ -438,13 +492,18 @@ int64_t meshops_obj_parse(const char *path, double *verts, int64_t v_cap,
     } else if (p[0] == 'f' && p[1] == ' ') {
       if (cf >= f_cap) return -3;
       p += 2;
-      char *q;
       for (int k = 0; k < 3; ++k) {
-        long long i = std::strtoll(p, &q, 10);
-        if (q == p || i <= 0) return -2;  // negative / malformed index
-        faces[3 * cf + k] = (int64_t)(i - 1);
-        p = q;
-        if (p < end && (*p == '/')) return -2;  // i/t, i//n forms
+        while (*p == ' ' || *p == '\t') ++p;
+        int64_t i = 0;
+        int digits = 0;
+        while (*p >= '0' && *p <= '9' && digits < 18) {
+          i = i * 10 + (*p - '0');
+          ++digits;
+          ++p;
+        }
+        if (digits == 0 || i <= 0) return -2;  // negative/malformed index
+        faces[3 * cf + k] = i - 1;
+        if (*p == '/') return -2;  // i/t, i//n forms
       }
       while (p < end && (*p == ' ' || *p == '\r' || *p == '\t')) ++p;
       if (p < end && *p != '\n') return -2;  // polygon (4+ indices)

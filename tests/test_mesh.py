@@ -56,6 +56,26 @@ class TestIO:
             np.testing.assert_allclose(native[0], fast_v, atol=0)
             np.testing.assert_array_equal(native[1], fast_f)
 
+        # numeric edge cases through the native parser's exact fixed-point
+        # fast path AND its strtod fallback (exponents, >15-digit
+        # mantissas): values must be BIT-identical to Python float() —
+        # the hierarchy goldens hash vertex bits
+        hard = ("v 1e-3 -2.5E2 0.125\n"
+                "v 0.1234567890123456789 -3. .5\n"
+                "v -0 16777217.125 9.999999999999999\n"
+                "f 1 2 3\n")
+        p = os.path.join(tmp_path, "hard.obj")
+        with open(p, "w") as fp:
+            fp.write(hard)
+        expect = np.array(
+            [[1e-3, -2.5e2, 0.125],
+             [0.1234567890123456789, -3.0, 0.5],
+             [-0.0, 16777217.125, 9.999999999999999]])
+        np.testing.assert_array_equal(load_obj(p).v, expect)
+        native_hard = obj_parse_native(p)
+        if native_hard is not None:
+            np.testing.assert_array_equal(native_hard[0], expect)
+
         # dialect escapes: every tier must decline, general parser handles
         escapes = {
             "neg.obj": ("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n",
