@@ -71,6 +71,53 @@ LEGS: dict[str, dict] = {
                       "data_parallel": "1", "seq_parallel": "1"},
         "template": "80k",
     },
+    # ---- round-5 legs -------------------------------------------------
+    # Equal-optimizer-step anchor for the flagship: parity numerics (dense
+    # HIGHEST) at the flagship's batch size, so both make 5 steps/epoch.
+    # Isolates bf16 numerics from step-count in the final-error gap
+    # (RESULTS.md conclusion 3).
+    "parity_bs128": {
+        "cfg": "files/default.cfg",
+        "overrides": {"cheb_method": "dense", "matmul_precision": "highest",
+                      "batch_size": "128"},
+    },
+    # Capacity sweep on the scaled legs: the committed 80k test-fold
+    # sex-change spread (0.54/0.81, RESULTS.md) was attributed to latent
+    # capacity without a test. These legs vary latent width (num_style)
+    # and dataset size at the 300-epoch / folds=2 protocol so every
+    # number is directly comparable to the round-4 table.
+    "scaled80k_ns32": {
+        "cfg": "files/scaled80k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "32",
+                      "data_parallel": "1", "seq_parallel": "1",
+                      "num_style": "32"},
+        "template": "80k",
+    },
+    "scaled80k_ns64": {
+        "cfg": "files/scaled80k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "32",
+                      "data_parallel": "1", "seq_parallel": "1",
+                      "num_style": "64"},
+        "template": "80k",
+    },
+    "scaled80k_data2x": {
+        "cfg": "files/scaled80k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "32",
+                      "data_parallel": "1", "seq_parallel": "1"},
+        "template": "80k",
+        "samples": 384,
+    },
+    "scaled20k_ns32": {
+        "cfg": "files/scaled20k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "64",
+                      "data_parallel": "1", "seq_parallel": "1",
+                      "num_style": "32"},
+        "template": "20k",
+    },
 }
 
 TEST_LINE = re.compile(
@@ -191,9 +238,15 @@ def main():
         leg = LEGS[name]
         scale = leg.get("template")
         if scale:
-            n = {"20k": args.samples_20k, "80k": args.samples_80k}[scale]
+            n = leg.get(
+                "samples", {"20k": args.samples_20k,
+                            "80k": args.samples_80k}[scale])
+            # custom sample counts get their own dataset dir so the
+            # default-sized dataset is never mixed with or overwritten by
+            # a larger one
+            sub = scale if "samples" not in leg else f"{scale}_{n}"
             data_dir = ensure_dataset(
-                os.path.join(args.out, scale), n, args.seed,
+                os.path.join(args.out, sub), n, args.seed,
                 os.path.join(REPO, f"template/template{scale}.obj"))
         else:
             data_dir = data5k

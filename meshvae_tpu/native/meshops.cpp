@@ -502,6 +502,9 @@ int64_t meshops_obj_parse(const char *path, double *verts, int64_t v_cap,
           ++p;
         }
         if (digits == 0 || i <= 0) return -2;  // negative/malformed index
+        // >18-digit token: out of dialect, defer to the general parser
+        // rather than silently splitting it into several indices.
+        if (*p >= '0' && *p <= '9') return -2;
         faces[3 * cf + k] = i - 1;
         if (*p == '/') return -2;  // i/t, i//n forms
       }

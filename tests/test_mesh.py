@@ -95,6 +95,17 @@ class TestIO:
             assert obj_parse_native(p) is None, name
             assert load_obj(p).f.tolist() == faces, name
 
+        # a >18-digit face index must DECLINE (not silently split into
+        # several bogus indices at the digit cap) so the general parser
+        # surfaces a loud failure instead of corrupt connectivity
+        p = os.path.join(tmp_path, "bigidx.obj")
+        with open(p, "w") as fp:
+            fp.write("v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+                     "f 100000000000000000012 3 1\n")
+        assert obj_parse_native(p) is None
+        with pytest.raises(Exception):
+            load_obj(p)
+
 
 class TestConnectivity:
     def test_single_triangle(self):
