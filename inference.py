@@ -37,6 +37,19 @@ def main():
                              "whole jitted serving step (params + operators "
                              "baked in) to a self-contained jax.export "
                              "artifact at PATH and exit")
+    parser.add_argument("--export-serve", metavar="PATH", default=None,
+                        help="like --export but with the SERVING LOOP's "
+                             "step contract (packed pred/err scalars, "
+                             "on-device ground-truth recompute, f16 wire; "
+                             "mesh outputs unless --no-meshes): the file "
+                             "that --serve --artifact loads")
+    parser.add_argument("--artifact", metavar="PATH", default=None,
+                        help="with --serve: load a --export-serve artifact "
+                             "instead of building the model — skips the "
+                             "hierarchy/operator build, the checkpoint "
+                             "load, and the ~5.7 s jax retrace on every "
+                             "fresh process (needs only the config, the "
+                             "template mesh, and norm.npz)")
     parser.add_argument("--export-platforms", default=None,
                         help="comma-separated lowering platforms for "
                              "--export (e.g. cpu,tpu); default: current "
@@ -70,6 +83,38 @@ def main():
     config["root_dir"] = args.data_dir
 
     maybe_init_multihost(config)
+
+    if args.serve and args.artifact:
+        # artifact cold start: no hierarchy, no operators, no checkpoint,
+        # no trace — deserialize + compile (XLA-cache-hit) and serve
+        import json
+        import sys
+
+        from meshvae_tpu.infer.export import load_serving_step
+        from meshvae_tpu.infer.serve import MeshServer
+        from meshvae_tpu.mesh.io import load_obj
+        from meshvae_tpu.tools.make_scaled_template import ensure_template
+
+        ensure_template(config["template"])
+        template = load_obj(config["template"])
+        norm = np.load(os.path.join(config["checkpoint_dir"], "norm.npz"),
+                       allow_pickle=True)
+        wire = config.get("serve_wire_dtype", "float16")
+        server = MeshServer(
+            None, None, None,
+            norm["mean"].astype(np.float32), norm["std"].astype(np.float32),
+            template=np.asarray(template.v), faces=np.asarray(template.f),
+            batch_size=int(config["batch_size"]),
+            output_path=args.output_path, save_meshes=not args.no_meshes,
+            wire_dtype=np.dtype(wire),
+            serving_step=load_serving_step(args.artifact))
+        sec = server.warmup()
+        print(json.dumps({"ready": True, "warmup_sec": round(sec, 2),
+                          "batch_size": server.batch_size,
+                          "artifact": args.artifact}), flush=True)
+        server.serve_forever(sys.stdin, sys.stdout)
+        return
+
     model, ops, hier, template = build_model_and_ops(config)
     trainer = make_trainer(config, model, ops)
 
@@ -86,20 +131,34 @@ def main():
     mean = norm["mean"].astype(np.float32)
     std = norm["std"].astype(np.float32)
 
-    if args.export:
-        from meshvae_tpu.infer.export import (export_serving_step,
+    if args.export or args.export_serve:
+        import jax.numpy as jnp
+        from meshvae_tpu.infer.export import (export_packed_serving_step,
+                                              export_serving_step,
                                               save_serving_artifact)
         platforms = (args.export_platforms.split(",")
                      if args.export_platforms else None)
-        data = export_serving_step(
-            model, ops, params, mean, std,
-            batch_size=int(config["batch_size"]),
-            num_vertices=int(np.asarray(template.v).shape[0]),
-            platforms=platforms,
-            allow_custom_calls=config.get("cheb_method", "dense") == "pallas")
-        save_serving_artifact(args.export, data)
-        print(f"serving artifact written to {args.export} "
-              f"({len(data) / 1e6:.1f} MB)")
+        allow_cc = config.get("cheb_method", "dense") == "pallas"
+        nv = int(np.asarray(template.v).shape[0])
+        if args.export:
+            data = export_serving_step(
+                model, ops, params, mean, std,
+                batch_size=int(config["batch_size"]), num_vertices=nv,
+                platforms=platforms, allow_custom_calls=allow_cc)
+            save_serving_artifact(args.export, data)
+            print(f"serving artifact written to {args.export} "
+                  f"({len(data) / 1e6:.1f} MB)")
+        if args.export_serve:
+            wire = config.get("serve_wire_dtype", "float16")
+            data = export_packed_serving_step(
+                model, ops, params, mean, std,
+                batch_size=int(config["batch_size"]), num_vertices=nv,
+                collect_meshes=not args.no_meshes,
+                wire_dtype=jnp.dtype(wire),
+                platforms=platforms, allow_custom_calls=allow_cc)
+            save_serving_artifact(args.export_serve, data)
+            print(f"serve artifact written to {args.export_serve} "
+                  f"({len(data) / 1e6:.1f} MB)")
         return
 
     if args.serve:
@@ -112,7 +171,8 @@ def main():
             template=np.asarray(template.v), faces=np.asarray(template.f),
             batch_size=int(config["batch_size"]),
             output_path=args.output_path, save_meshes=not args.no_meshes,
-            mesh=trainer.mesh)
+            mesh=trainer.mesh,
+            wire_dtype=np.dtype(config.get("serve_wire_dtype", "float16")))
         sec = server.warmup()
         print(json.dumps({"ready": True, "warmup_sec": round(sec, 2),
                           "batch_size": server.batch_size}), flush=True)

@@ -78,6 +78,12 @@ _SCHEMA: dict[str, tuple[Callable, Any]] = {
     "num_processes": (int, 0),           # 0 = auto-detect
     "process_id": (int, -1),             # -1 = auto-detect
     "scan_epoch": (_bool, True),         # whole epoch in one device dispatch
+    "serve_wire_dtype": (str, "float16"),  # serving-chunk x upload dtype
+                                           # (float16 | float32): x is the
+                                           # ~whole upload and is normalized
+                                           # ~N(0,1), so f16 halves the
+                                           # ~50 MB/s relay bytes at ~5e-4
+                                           # relative error; r/s/m stay f32
     "hierarchy_cache_dir": (str, ""),
     "profile_dir": (str, ""),            # jax.profiler trace output ("" = off)
     "halt_on_nonfinite": (_bool, True),  # stop on NaN/inf loss (driver)

@@ -74,6 +74,63 @@ def export_serving_step(model, ops, params, norm_mean, norm_std,
     return exp.serialize()
 
 
+def make_packed_serving_step(model, ops, params, norm_mean, norm_std,
+                             collect_meshes: bool):
+    """The SERVING-LOOP step (serve.MeshServer._serve_impl's contract):
+    (x, r, s, m) -> {"packed": [3, B] (pred / err_mean / err_max),
+    "recon_orig", "oppo_orig" when collect_meshes}. Ground truth is
+    recomputed on-device from x, exactly like the warm server, so the
+    artifact answers with reconstruction errors — the plain
+    make_serving_step contract has no errors (no ground truth input)."""
+    from ..mesh.procrustes import apply_inverse_similarity
+
+    engine = InferenceEngine(model, ops)
+    mean = jnp.asarray(norm_mean)
+    std = jnp.asarray(norm_std)
+
+    def serve(x, r, s, m):
+        x = x.astype(jnp.float32)  # wire may be f16 (serve.py wire_dtype)
+        batch = {"x": x, "r": r, "s": s, "m": m,
+                 "original": apply_inverse_similarity(
+                     x * std + mean, r, s, m)}
+        out = engine._step_impl(params, batch, mean, std, engine.ops)
+        res = {"packed": jnp.stack([out["pred"].astype(jnp.float32),
+                                    out["err_mean"], out["err_max"]])}
+        if collect_meshes:
+            res["recon_orig"] = out["recon_orig"]
+            res["oppo_orig"] = out["oppo_orig"]
+        return res
+
+    return serve
+
+
+def export_packed_serving_step(model, ops, params, norm_mean, norm_std,
+                               batch_size: int, num_vertices: int,
+                               collect_meshes: bool = True,
+                               wire_dtype=jnp.float16,
+                               platforms=None,
+                               allow_custom_calls: bool = False) -> bytes:
+    """Serialize the serving-loop step for `inference.py --serve
+    --artifact`: a fresh serve process then deserializes + compiles
+    (XLA-cache-hit) instead of rebuilding model/operators/params and
+    re-tracing (~5.7 s, BASELINE.md). `wire_dtype` must match the
+    server's chunk upload dtype (serve_wire_dtype; default f16)."""
+    serve = make_packed_serving_step(model, ops, params, norm_mean,
+                                     norm_std, collect_meshes)
+    f32 = jnp.float32
+    args = (
+        jax.ShapeDtypeStruct((batch_size, num_vertices, 3), wire_dtype),
+        jax.ShapeDtypeStruct((batch_size, 3, 3), f32),             # r
+        jax.ShapeDtypeStruct((batch_size,), f32),                  # s
+        jax.ShapeDtypeStruct((batch_size, 1, 3), f32),             # m
+    )
+    checks = ([jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+              if allow_custom_calls else [])
+    exp = jax_export.export(jax.jit(serve), platforms=platforms,
+                            disabled_checks=checks)(*args)
+    return exp.serialize()
+
+
 def save_serving_artifact(path: str, data: bytes) -> None:
     with open(path, "wb") as fp:
         fp.write(data)

@@ -70,11 +70,29 @@ class MeshServer:
 
     def __init__(self, model, ops, params, norm_mean, norm_std, template,
                  faces, batch_size: int, output_path: str = ".",
-                 save_meshes: bool = False, mesh=None, engine=None):
-        self.engine = engine or InferenceEngine(model, ops, mesh=mesh)
-        self.params = self.engine.replicate(params)
-        self.mean_dev = self.engine.replicate(jnp.asarray(norm_mean))
-        self.std_dev = self.engine.replicate(jnp.asarray(norm_std))
+                 save_meshes: bool = False, mesh=None, engine=None,
+                 wire_dtype=np.float16, serving_step=None):
+        # serving_step: a pre-compiled (x, r, s, m) -> {packed, ...}
+        # callable, typically a deserialized jax.export artifact
+        # (infer/export.py::load_packed_serving_step) — the server then
+        # never traces, and model/ops/params may all be None (artifact
+        # cold-start path; single-process only, the artifact has the
+        # dp/sp layout of the exporting process baked in).
+        self._artifact_step = serving_step
+        if serving_step is None:
+            self.engine = engine or InferenceEngine(model, ops, mesh=mesh)
+            self.params = self.engine.replicate(params)
+            self.mean_dev = self.engine.replicate(jnp.asarray(norm_mean))
+            self.std_dev = self.engine.replicate(jnp.asarray(norm_std))
+            # two step variants: the light one never materializes the mesh
+            # stacks (XLA DCEs the decoder outputs' original-pose
+            # transform)
+            self._steps = {
+                True: jax.jit(functools.partial(self._serve_impl,
+                                                collect=True)),
+                False: jax.jit(functools.partial(self._serve_impl,
+                                                 collect=False)),
+            }
         self.mean = np.asarray(norm_mean, np.float32)
         self.std = np.asarray(norm_std, np.float32)
         self.template = np.asarray(template, np.float32)
@@ -83,13 +101,12 @@ class MeshServer:
         self.output_path = output_path
         self.save_meshes = save_meshes
         self.mesh_dir = os.path.join(output_path, "sex_change")
-        # two step variants: the light one never materializes the mesh
-        # stacks (XLA DCEs the decoder outputs' original-pose transform)
-        self._steps = {
-            True: jax.jit(functools.partial(self._serve_impl, collect=True)),
-            False: jax.jit(functools.partial(self._serve_impl,
-                                             collect=False)),
-        }
+        # x is ~the whole chunk upload (B*N*3 vs B*40 for r/s/m) and is
+        # normalized ~N(0,1): f16 on the wire halves the ~50 MB/s relay
+        # bytes at ~5e-4 relative error (upcast on device); r/s/m stay
+        # f32 — m is an absolute translation whose f16 rounding would
+        # shift the emitted meshes
+        self.wire_dtype = np.dtype(wire_dtype)
         # single-worker device lane: overlaps relay upload/step/pull of
         # chunk i with the main thread's preprocess of chunk i+1 while
         # keeping every jax call on one thread (see handle())
@@ -98,6 +115,8 @@ class MeshServer:
     # --- device side ------------------------------------------------------
 
     def _serve_impl(self, params, batch, mean, std, ops, collect: bool):
+        # the wire may carry x as f16 (see __init__); all compute is f32
+        batch = dict(batch, x=batch["x"].astype(jnp.float32))
         # the ground-truth pose tensor is recomputed on-device from the
         # staged x (the infer/driver.py scan trick): aligned @ R * s + m
         # with aligned = x * std + mean — shipping it would double the
@@ -125,7 +144,8 @@ class MeshServer:
                 raise ValueError(
                     f"{p}: {points.shape[0]} vertices, template has {n}")
             aligned, (r, s, m), _ = procrustes_align(self.template, points)
-            xs.append(((aligned - self.mean) / self.std).astype(np.float32))
+            xs.append(((aligned - self.mean) / self.std).astype(
+                self.wire_dtype))
             orig.append(points.astype(np.float32))
             rs.append(r.astype(np.float32))
             ss.append(np.float32(s))
@@ -139,11 +159,21 @@ class MeshServer:
         Runs on the single device-lane thread: all relay traffic (upload,
         dispatch, pulls) serializes there, overlapping the main thread's
         OBJ ingest + Procrustes of the NEXT chunk."""
-        batch = self.engine.put_batch(
-            {k: v for k, v in host.items() if k != "original"})
-        out = self._steps[self.save_meshes](
-            self.params, batch, self.mean_dev, self.std_dev,
-            self.engine.ops)
+        if self._artifact_step is not None:
+            out = self._artifact_step(
+                jax.device_put(host["x"]), jax.device_put(host["r"]),
+                jax.device_put(host["s"]), jax.device_put(host["m"]))
+        else:
+            batch = self.engine.put_batch(
+                {k: v for k, v in host.items() if k != "original"})
+            out = self._steps[self.save_meshes](
+                self.params, batch, self.mean_dev, self.std_dev,
+                self.engine.ops)
+        if self.save_meshes and "recon_orig" not in out:
+            raise RuntimeError(
+                "serving artifact was exported without mesh outputs "
+                "(save_meshes=False); re-export with meshes or serve "
+                "with --no-meshes")
         pulled = {"packed": np.asarray(out["packed"])}  # ONE scalar pull
         if self.save_meshes:
             pulled["recon"] = np.asarray(out["recon_orig"])
@@ -214,15 +244,12 @@ class MeshServer:
         n = self.template.shape[0]
         bs = self.batch_size
         host = {
-            "x": np.zeros((bs, n, 3), np.float32),
+            "x": np.zeros((bs, n, 3), self.wire_dtype),
             "r": np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1)),
             "s": np.ones((bs,), np.float32),
             "m": np.zeros((bs, 1, 3), np.float32),
         }
-        batch = self.engine.put_batch(host)
-        out = self._steps[self.save_meshes](
-            self.params, batch, self.mean_dev, self.std_dev,
-            self.engine.ops)
+        out = self._device_chunk(host)
         np.asarray(out["packed"])  # block until the executable really ran
         return time.perf_counter() - t0
 
