@@ -68,6 +68,19 @@ def main():
                          "step; 0 = auto, 1 = single-row)")
     ap.add_argument("--components", default="fwd,grad",
                     help="comma list of fwd,grad")
+    ap.add_argument("--workload", default="5k",
+                    choices=["5k", "20k", "80k"],
+                    help="template driving the level-0 operator shape "
+                         "(scaled templates auto-generate; 20k/80k imply "
+                         "K=10 unless --k is given explicitly)")
+    ap.add_argument("--group-max-operands", type=int, default=0,
+                    help="override pallas_cheb._GROUP_MAX_OPERANDS (the "
+                         "multi-row kernel's slab-ref ceiling; needed for "
+                         "GROUP_ROWS*g_width > 32, e.g. R=8 at 80k's g=8)")
+    ap.add_argument("--group-budget", type=int, default=0,
+                    help="override GROUP_VMEM_BUDGET (bytes); large "
+                         "GROUP_ROWS values need more per-step VMEM than "
+                         "the 12 MB default or the clamp degrades them")
     ap.add_argument("--cpu", action="store_true",
                     help="CPU backend + interpret-mode kernels (plumbing "
                          "check only — timings are meaningless)")
@@ -88,8 +101,21 @@ def main():
 
     if args.cpu:
         pc.INTERPRET = True
+    if args.group_max_operands:
+        pc._GROUP_MAX_OPERANDS = args.group_max_operands
+    if args.group_budget:
+        pc.GROUP_VMEM_BUDGET = args.group_budget
 
-    hier = load_or_build_hierarchy(load_obj(TEMPLATE), [4, 4, 4, 4])
+    template_path = TEMPLATE
+    if args.workload != "5k":
+        from meshvae_tpu.tools.make_scaled_template import ensure_template
+        template_path = os.path.join(os.path.dirname(TEMPLATE),
+                                     f"template{args.workload}.obj")
+        ensure_template(template_path)
+        if args.k == 6:  # scaled configs run K=10 (files/scaled*.cfg)
+            args.k = 10
+
+    hier = load_or_build_hierarchy(load_obj(template_path), [4, 4, 4, 4])
     op_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
                 else jnp.float32)
     ops = build_operators(hier, dtype=op_dtype, cheb_method="pallas",

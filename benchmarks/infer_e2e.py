@@ -46,6 +46,9 @@ def main():
                     help="time the warm MeshServer path instead "
                          "(inference.py --serve): one directory request of "
                          "all samples per repeat, after warmup()")
+    ap.add_argument("--wire-dtype", default="float16",
+                    help="--serve chunk upload dtype for x (float16 | "
+                         "float32): the f16-vs-f32 wire A/B knob")
     ap.add_argument("--data", default="/tmp/infer_e2e")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -107,7 +110,8 @@ def main():
             model, ops, params, mean, std,
             template=np.asarray(template.v), faces=np.asarray(template.f),
             batch_size=args.batch_size, output_path=out_dir,
-            save_meshes=args.save_meshes, mesh=trainer.mesh)
+            save_meshes=args.save_meshes, mesh=trainer.mesh,
+            wire_dtype=np.dtype(args.wire_dtype))
         print(f"warmup: {server.warmup():.2f}s", flush=True)
         paths = [p for p in list_request_meshes(data_dir)
                  if not os.path.basename(p).startswith(".")]
@@ -151,6 +155,7 @@ def main():
         "method": args.method,
         "compute_dtype": args.compute_dtype,
         "save_meshes": bool(args.save_meshes),
+        "wire_dtype": args.wire_dtype if args.serve else None,
         "reuse_engine": bool(args.reuse_engine),
         "serve": bool(args.serve),
         "warm_s": round(warm, 3),

@@ -379,8 +379,12 @@ GROUP_VMEM_BUDGET = int(__import__("os").environ.get(
 GROUP_ROWS = int(__import__("os").environ.get("MESHVAE_GROUP_ROWS", "0"))
 
 # operand-count ceiling for the multi-row kernel: R*g x-slab refs
-# (doubled in HIGH mode) plus blocks and seeds
-_GROUP_MAX_OPERANDS = 32
+# (doubled in HIGH mode) plus blocks and seeds. Env-overridable so the
+# GROUP_ROWS sweep can probe past it (e.g. R=8 at the 80k level-0's g=8
+# needs 64 slab refs); Mosaic's real operand tolerance is comfortably
+# higher, the default just keeps auto-picked kernels conservative.
+_GROUP_MAX_OPERANDS = int(__import__("os").environ.get(
+    "MESHVAE_GROUP_MAX_OPERANDS", "32"))
 
 
 def _make_grouped_kernel(g, precision, alpha, has_m, has_p, has_pd):
