@@ -110,6 +110,22 @@ LEGS: dict[str, dict] = {
         "template": "80k",
         "samples": 384,
     },
+    "scaled80k_ns8": {
+        "cfg": "files/scaled80k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "32",
+                      "data_parallel": "1", "seq_parallel": "1",
+                      "num_style": "8"},
+        "template": "80k",
+    },
+    "scaled20k_ns8": {
+        "cfg": "files/scaled20k.cfg",
+        "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
+                      "matmul_precision": "default", "batch_size": "64",
+                      "data_parallel": "1", "seq_parallel": "1",
+                      "num_style": "8"},
+        "template": "20k",
+    },
     "scaled20k_ns32": {
         "cfg": "files/scaled20k.cfg",
         "overrides": {"cheb_method": "pallas", "compute_dtype": "bfloat16",
