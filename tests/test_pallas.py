@@ -665,6 +665,30 @@ class TestGroupedKernel:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestEmittedPipelineSpmm:
+    def test_matches_grouped_and_dense(self):
+        """The emitted-pipeline SpMM spike (benchmarks/emitted_probe.py:
+        one grid step per panel, manual double-buffered row-block DMAs)
+        must equal the grouped kernel and the dense product — the
+        correctness backstop behind the 80k grid-step-roof A/B."""
+        from benchmarks.emitted_probe import emitted_spmm
+
+        mesh = make_grid_mesh(32, jitter=0.05)  # 1024 verts, 8 block-rows
+        adj = vertex_adjacency(mesh.num_vertices, mesh.f)
+        lap = normalized_neg_adjacency(adj)
+        bsr = to_block_sparse(lap)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((bsr.n_pad, 256)), jnp.float32)
+        y_emit = np.asarray(emitted_spmm(bsr, x, interpret=True))
+        y_grp = np.asarray(pc._bsr_matmul_impl(bsr, x,
+                                               jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(y_emit, y_grp, rtol=1e-5, atol=1e-5)
+        dense = bsr_to_dense(bsr)
+        np.testing.assert_allclose(
+            y_emit[:bsr.n], dense @ np.asarray(x)[:bsr.n],
+            rtol=1e-4, atol=1e-4)
+
+
 class TestMultiRowGrouped:
     """Multi-row grouped kernel (GROUP_ROWS > 1): R row-blocks per grid
     step — the narrow-panel regime's answer to the ~0.45us per-step cost
