@@ -363,9 +363,14 @@ GROUP_MAX_PANEL = int(__import__("os").environ.get(
     "MESHVAE_GROUP_MAX_PANEL", "2048"))
 
 # per-step VMEM allowance for the grouped kernel's (double-buffered)
-# slabs + blocks + out + seeds; panels shrink until they fit
+# slabs + blocks + out + seeds; panels shrink until they fit. 14 MB
+# (round 5; was 12): at the 80k shapes the seeded recurrence steps'
+# per-row cost is ~3.1 MB, so 12 MB capped them at 3 rows -> divisor 2
+# while the measured best is rows_step 4 (grouped apply 2.317 -> 2.267
+# ms same-session; BASELINE.md "the grid-step family, closed"). Actual
+# kernel VMEM at 4 rows stays ~12.6 MB, inside Mosaic's 16 MB window.
 GROUP_VMEM_BUDGET = int(__import__("os").environ.get(
-    "MESHVAE_GROUP_BUDGET", str(12 * 1024 * 1024)))
+    "MESHVAE_GROUP_BUDGET", str(14 * 1024 * 1024)))
 
 # Row-blocks per grid step (0 = auto). When the column panel is narrower
 # than GROUP_MAX_PANEL (small batch, or big meshes where B*F is modest),
