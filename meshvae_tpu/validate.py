@@ -22,10 +22,13 @@ class ConfigError(ValueError):
     """A config that cannot run in this environment (clear, early)."""
 
 
-# Measured ELL envelope (BASELINE.md, round 3): batch x vertices of
-# 20k x 64 = 1.28M runs; 80k x 32 = 2.56M reproducibly faults the TPU
-# worker mid-scan. The limit sits above the largest measured-safe point
-# and well below the measured crash.
+# Measured ELL envelope (BASELINE.md; round-5 bisection probes):
+#   safe:  20k x 64 = 1.28M (r3), 20k x 72 = 1.44M (r5, 309 meshes/sec,
+#          finite loss)
+#   crash: 80k x 24 = 1.92M (r5, same worker kernel-fault signature),
+#          80k x 32 = 2.56M (r3)
+# The limit sits in the measured gap: every admitted config is within
+# 4% of a measured-safe run; every measured crash is >=28% above it.
 ELL_SAFE_BATCH_VERTICES = 1_500_000
 
 
