@@ -22,14 +22,21 @@ class ConfigError(ValueError):
     """A config that cannot run in this environment (clear, early)."""
 
 
-# Measured ELL envelope (BASELINE.md; round-5 bisection probes):
-#   safe:  20k x 64 = 1.28M (r3), 20k x 72 = 1.44M (r5, 309 meshes/sec,
-#          finite loss)
-#   crash: 80k x 24 = 1.92M (r5, same worker kernel-fault signature),
-#          80k x 32 = 2.56M (r3)
-# The limit sits in the measured gap: every admitted config is within
-# 4% of a measured-safe run; every measured crash is >=28% above it.
-ELL_SAFE_BATCH_VERTICES = 1_500_000
+# Measured ELL envelope (BASELINE.md; round-5 bisection probes). The
+# fault is NOT a pure batch x vertices product: 20k x 96 and 80k x 24
+# are the same 1.92M batch-vertices, yet the former completes (384
+# meshes/sec, finite loss) and the latter reproducibly kills the TPU
+# worker. Two regimes, each bounded by runs on both sides:
+#   N <= ~20k vertices: safe through 1.92M batch-vertices
+#          (20k x 64 r3, 20k x 72 + 20k x 96 r5); nothing above probed,
+#          so the limit stays at the measured boundary.
+#   N  > ~20k vertices: 80k x 4 = 0.32M completes (r3); 80k x 24 =
+#          1.92M and 80k x 32 = 2.56M fault (r5/r3). Only the
+#          measured-safe 0.32M is admitted — the 0.32M-1.92M band is
+#          unprobed and a crash takes down the whole worker process.
+ELL_SAFE_BATCH_VERTICES = 1_920_000
+ELL_LARGE_N = 32_768           # above this, the conservative regime
+ELL_SAFE_BATCH_VERTICES_LARGE_N = 320_000
 
 
 def _device_info(n_devices, platform):
@@ -84,16 +91,18 @@ def validate_config(config: dict, num_nodes=None, n_devices: int | None = None,
 
     if method == "ell" and num_nodes is not None and platform != "cpu":
         per_chip_batch = batch_size // dp
-        work = per_chip_batch * int(num_nodes[0])
-        if work > ELL_SAFE_BATCH_VERTICES:
+        n0 = int(num_nodes[0])
+        work = per_chip_batch * n0
+        limit = (ELL_SAFE_BATCH_VERTICES_LARGE_N if n0 > ELL_LARGE_N
+                 else ELL_SAFE_BATCH_VERTICES)
+        if work > limit:
             raise ConfigError(
                 f"cheb_method = ell at batch {per_chip_batch}/chip x "
-                f"{int(num_nodes[0])} vertices ({work:,} batch-vertices) is "
-                f"outside the measured-safe envelope "
-                f"({ELL_SAFE_BATCH_VERTICES:,}): the level-0 neighbor gather "
-                f"reproducibly crashes the TPU worker process mid-run at "
-                f"80k vertices x batch 32 (kernel fault after a successful "
-                f"compile; BASELINE.md 'The ELL method at 80k'). Use "
-                f"cheb_method = pallas (faster at every measured scale), or "
-                f"shrink batch_size / raise data_parallel to get back under "
-                f"the envelope.")
+                f"{n0} vertices ({work:,} batch-vertices) is outside the "
+                f"measured-safe envelope ({limit:,} at this vertex count): "
+                f"the level-0 neighbor gather reproducibly crashes the TPU "
+                f"worker process mid-run at 80k vertices x batch >= 24 "
+                f"(kernel fault after a successful compile; BASELINE.md "
+                f"'the ELL crash envelope'). Use cheb_method = pallas "
+                f"(faster at every measured scale), or shrink batch_size / "
+                f"raise data_parallel to get back under the envelope.")

@@ -65,6 +65,22 @@ class TestEllEnvelope:
         validate_config(base(cheb_method="ell", batch_size=64),
                         num_nodes=[19_992], n_devices=1, platform="tpu")
 
+    def test_two_regime_boundaries(self):
+        # round-5 probes: 20k x 96 = 1.92M batch-vertices completes while
+        # 80k x 24 (the SAME product) kills the worker — the envelope is
+        # template-scale-conditioned, not a pure product
+        validate_config(base(cheb_method="ell", batch_size=96),
+                        num_nodes=[19_992], n_devices=1, platform="tpu")
+        with pytest.raises(ConfigError, match="measured-safe envelope"):
+            validate_config(base(cheb_method="ell", batch_size=24),
+                            num_nodes=[self.N80K], n_devices=1,
+                            platform="tpu")
+        # large-N regime admits only the measured-safe 0.32M band
+        with pytest.raises(ConfigError, match="measured-safe envelope"):
+            validate_config(base(cheb_method="ell", batch_size=8),
+                            num_nodes=[self.N80K], n_devices=1,
+                            platform="tpu")
+
     def test_envelope_is_per_chip(self):
         # dp spreads the batch: 8 chips x 32/chip stays per-chip safe at 20k
         validate_config(base(cheb_method="ell", batch_size=256,
