@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--wire-dtype", default="float16",
                     help="--serve chunk upload dtype for x (float16 | "
                          "float32): the f16-vs-f32 wire A/B knob")
+    ap.add_argument("--artifact", action="store_true",
+                    help="with --serve: export the packed serving step to "
+                         "a jax.export artifact (pallas custom calls "
+                         "allowed), reload it, and serve THROUGH the "
+                         "artifact — proves the AOT path at the "
+                         "production config and times it")
     ap.add_argument("--data", default="/tmp/infer_e2e")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -106,12 +112,33 @@ def main():
     if args.serve:
         from meshvae_tpu.infer.serve import MeshServer, list_request_meshes
 
+        serving_step = None
+        if args.artifact:
+            import jax.numpy as jnp
+
+            from meshvae_tpu.infer.export import (export_packed_serving_step,
+                                                  load_serving_step)
+            t0 = time.time()
+            data = export_packed_serving_step(
+                model, ops, params, mean, std,
+                batch_size=args.batch_size,
+                num_vertices=int(np.asarray(template.v).shape[0]),
+                collect_meshes=args.save_meshes,
+                wire_dtype=jnp.dtype(args.wire_dtype),
+                allow_custom_calls=args.method == "pallas")
+            print(f"export: {time.time() - t0:.2f}s "
+                  f"({len(data) / 1e6:.1f} MB)", flush=True)
+            serving_step = load_serving_step(data)
         server = MeshServer(
-            model, ops, params, mean, std,
+            None if serving_step else model,
+            None if serving_step else ops,
+            None if serving_step else params, mean, std,
             template=np.asarray(template.v), faces=np.asarray(template.f),
             batch_size=args.batch_size, output_path=out_dir,
-            save_meshes=args.save_meshes, mesh=trainer.mesh,
-            wire_dtype=np.dtype(args.wire_dtype))
+            save_meshes=args.save_meshes,
+            mesh=None if serving_step else trainer.mesh,
+            wire_dtype=np.dtype(args.wire_dtype),
+            serving_step=serving_step)
         print(f"warmup: {server.warmup():.2f}s", flush=True)
         paths = [p for p in list_request_meshes(data_dir)
                  if not os.path.basename(p).startswith(".")]
